@@ -1,0 +1,57 @@
+"""Per-phase wall-clock timing.
+
+TPU-era replacement for the reference's per-thread omp_get_wtime prints
+(src/ClusterLCP.cpp:273-278) and /usr/bin/time -v wrappers
+(LiME_paired.sh:44-79).  Also exposes jax device-memory stats in place of
+the reference's malloc_count heap interposition (external/malloc_count/).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Dict
+
+logger = logging.getLogger("lime_tpu")
+
+
+class PhaseTimer:
+    def __init__(self, name: str):
+        self.name = name
+        self.phases: Dict[str, float] = {}
+        self._start = time.perf_counter()
+
+    @contextlib.contextmanager
+    def phase(self, label: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.phases[label] = self.phases.get(label, 0.0) + (
+                time.perf_counter() - t0)
+
+    def total(self) -> float:
+        return time.perf_counter() - self._start
+
+    def report(self) -> None:
+        parts = " ".join(f"{k}={v:.3f}s" for k, v in self.phases.items())
+        logger.info("%s: %s total=%.3fs", self.name, parts, self.total())
+
+
+def device_memory_stats() -> Dict[str, int]:
+    """Per-device memory stats (bytes). Empty on platforms without support."""
+    import jax
+
+    stats = {}
+    for d in jax.devices():
+        try:
+            s = d.memory_stats()
+        except Exception:  # pragma: no cover - platform dependent
+            s = None
+        if s:
+            stats[str(d)] = {
+                "bytes_in_use": s.get("bytes_in_use", 0),
+                "peak_bytes_in_use": s.get("peak_bytes_in_use", 0),
+            }
+    return stats

@@ -1,0 +1,84 @@
+"""Golden oracle: the reference C++ binaries, compiled from /root/reference.
+
+The reference repo has no automated tests (SURVEY.md §4); parity testing
+compiles its binaries and asserts bit-identical artifacts.  Binaries are
+cached under build/oracle/ keyed by flag variant.  Nothing from the
+reference tree is copied into this repository — it is compiled in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import subprocess
+from typing import Dict, Sequence
+
+REFERENCE_SRC = os.environ.get("LIME_REFERENCE_SRC", "/root/reference/src")
+BUILD_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "build", "oracle")
+
+_COMMON = ["-std=c++11", "-O2", "-fopenmp", "-w", "-DNDEBUG",
+           "-DDEBUG=0", "-DM64=0", "-DOMP=1"]
+
+
+def _variant_name(src: str, defines: Dict[str, int]) -> str:
+    base = os.path.splitext(os.path.basename(src))[0]
+    suffix = "".join(f"_{k}{v}" for k, v in sorted(defines.items()))
+    return base + suffix
+
+
+@dataclasses.dataclass
+class OracleBinaries:
+    bindir: str
+
+    @classmethod
+    def build(cls) -> "OracleBinaries":
+        os.makedirs(BUILD_DIR, exist_ok=True)
+        targets = [
+            ("ClusterLCP.cpp", {}),
+            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 1}),
+            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 0}),
+            ("ClusterBWT_DA.cpp", {"BIN": 0, "EBWT": 1}),
+            ("Classify.cpp", {"BIN": 1, "HIGHER": 0}),
+            ("Classify.cpp", {"BIN": 1, "HIGHER": 1}),
+        ]
+        for src, defines in targets:
+            out = os.path.join(BUILD_DIR, _variant_name(src, defines))
+            src_path = os.path.join(REFERENCE_SRC, src)
+            if (os.path.exists(out)
+                    and os.path.getmtime(out) > os.path.getmtime(src_path)):
+                continue
+            cmd = ["g++", src_path, "-o", out, *_COMMON,
+                   *[f"-D{k}={v}" for k, v in defines.items()]]
+            subprocess.run(cmd, check=True, capture_output=True)
+        return cls(bindir=BUILD_DIR)
+
+    def _run(self, name: str, args: Sequence[str], cwd: str) -> str:
+        proc = subprocess.run(
+            [os.path.join(self.bindir, name), *map(str, args)],
+            cwd=cwd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"{name} {' '.join(map(str, args))} failed:\n"
+                f"{proc.stdout}\n{proc.stderr}")
+        return proc.stdout
+
+    def cluster_lcp(self, fasta: str, num_reads: int, num_genomes: int,
+                    alpha: int, threads: int = 1) -> str:
+        return self._run("ClusterLCP",
+                         [fasta, num_reads, num_genomes, alpha, threads],
+                         cwd=os.path.dirname(fasta))
+
+    def cluster_bwt(self, fasta: str, read_len: int, beta: float,
+                    threads: int = 1, ebwt: int = 1, bin_out: int = 1) -> str:
+        name = _variant_name("ClusterBWT_DA.cpp", {"BIN": bin_out, "EBWT": ebwt})
+        return self._run(name, [fasta, read_len, beta, threads],
+                         cwd=os.path.dirname(fasta))
+
+    def classify(self, res_prefixes: Sequence[str], num_reads: int,
+                 num_genomes: int, output: str, lineage: str, tax_rank: int,
+                 threads: int = 1, higher: int = 0) -> str:
+        name = _variant_name("Classify.cpp", {"BIN": 1, "HIGHER": higher})
+        args = [len(res_prefixes), *res_prefixes, num_reads, num_genomes,
+                output, lineage, tax_rank, threads]
+        return self._run(name, args, cwd=os.path.dirname(output))
