@@ -50,6 +50,7 @@ class LimeConfig:
     binary_results: bool = True
     wide_sim: bool = False
     executor: str = "tpu"
+    fused: bool = False  # one-dispatch serving path: no .clrs/.res artifacts
     threads: int = 1  # host-side worker threads for IO-bound stages
     block_positions: int = 1 << 22  # streaming block size for the TPU pass
     error_tolerance: float = 0.02  # classify tie tolerance (Tools.h:37)

@@ -27,23 +27,28 @@ import numpy as np
 from ..constants import DT_CLUSTER, DT_DOC, DT_LCP, DT_SYMBOL
 
 
-def _memmap(path: str, dtype: np.dtype) -> np.ndarray:
+def _load(path: str, dtype: np.dtype, mmap: bool) -> np.ndarray:
     size = os.path.getsize(path)
     if size == 0:
         return np.empty(0, dtype=dtype)
-    return np.memmap(path, dtype=dtype, mode="r")
+    if mmap:
+        return np.memmap(path, dtype=dtype, mode="r")
+    # fromfile beats a memmap view for whole-array consumers: repeated
+    # vector ops over a mapped view pay page-walk overhead every pass
+    # (~20x slower on the pipeline's scan inputs).
+    return np.fromfile(path, dtype=dtype)
 
 
-def open_lcp(fasta_path: str) -> np.ndarray:
-    return _memmap(fasta_path + ".lcp", DT_LCP)
+def open_lcp(fasta_path: str, mmap: bool = False) -> np.ndarray:
+    return _load(fasta_path + ".lcp", DT_LCP, mmap)
 
 
-def open_da(fasta_path: str) -> np.ndarray:
-    return _memmap(fasta_path + ".da", DT_DOC)
+def open_da(fasta_path: str, mmap: bool = False) -> np.ndarray:
+    return _load(fasta_path + ".da", DT_DOC, mmap)
 
 
-def open_ebwt(fasta_path: str) -> np.ndarray:
-    return _memmap(fasta_path + ".ebwt", DT_SYMBOL)
+def open_ebwt(fasta_path: str, mmap: bool = False) -> np.ndarray:
+    return _load(fasta_path + ".ebwt", DT_SYMBOL, mmap)
 
 
 def write_index_arrays(fasta_path: str, ebwt: np.ndarray, lcp: np.ndarray,

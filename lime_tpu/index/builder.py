@@ -104,13 +104,24 @@ def _lcp_from_history(sa: np.ndarray, history: List[np.ndarray]) -> np.ndarray:
     return lcp
 
 
-def build_index(seqs: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def build_index(seqs: Sequence[bytes], engine: str = "numpy"
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build (ebwt, lcp, da) for the merged collection of ``seqs``.
 
     Documents are numbered by position in ``seqs`` — callers put reads first
     and genomes after, matching the document-id convention everything
     downstream relies on (reference src/ClusterLCP.cpp:20-23).
+
+    ``engine``: 'numpy' (portable prefix doubling), 'native' (C++ SA-IS),
+    or 'auto' (native when a toolchain is available).
     """
+    if engine != "numpy":
+        from .. import native
+        if native.available():
+            return native.build_index_native(list(seqs))
+        if engine == "native":
+            raise RuntimeError("native index builder unavailable "
+                               "(no C++ toolchain)")
     if not seqs:
         return (np.empty(0, DT_SYMBOL), np.empty(0, DT_LCP), np.empty(0, DT_DOC))
     ranks, docs, seq_start = _initial_ranks(seqs)
@@ -132,14 +143,15 @@ def build_index(seqs: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray, np.ndarr
 
 
 def build_index_files(fasta_path: str, seqs: Sequence[bytes],
-                      max_lcp: int | None = None) -> int:
+                      max_lcp: int | None = None,
+                      engine: str = "auto") -> int:
     """Build and write ``.ebwt``/``.lcp``/``.da`` next to ``fasta_path``.
 
     ``max_lcp`` caps stored LCP values like eGap's ``--trlcp k``
     (Preprocessing.sh:24-28) — safe whenever ``max_lcp >= alpha``.
     Returns the number of index rows.
     """
-    ebwt, lcp, da = build_index(seqs)
+    ebwt, lcp, da = build_index(seqs, engine=engine)
     if max_lcp is not None:
         lcp = np.minimum(lcp, max_lcp).astype(DT_LCP)
     write_index_arrays(fasta_path, ebwt, lcp, da)

@@ -1,0 +1,211 @@
+// lime-tpu native runtime: multi-string eBWT/LCP/DA index construction.
+//
+// Replaces the reference's external L0 toolchain (BCR_LCP_GSA + egsa + eGap,
+// cloned by Install_tools_preprocessing.sh:14-38) with a single in-process
+// builder: SA-IS suffix array over the terminator-augmented concatenation,
+// Kasai LCP, and direct eBWT/DA extraction.  Conventions match
+// lime_tpu.index.builder (terminator of sequence i sorts before all
+// nucleotides and before terminator j>i; lcp never crosses a terminator).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using i64 = int64_t;
+
+// ---------------------------------------------------------------------------
+// SA-IS (linear-time suffix array, integer alphabet).
+// s[0..n-1] with s[n-1] == 0 the unique smallest sentinel; alphabet [0, K).
+// ---------------------------------------------------------------------------
+
+void get_buckets(const i64* s, i64* bkt, i64 n, i64 K, bool end) {
+  std::memset(bkt, 0, sizeof(i64) * K);
+  for (i64 i = 0; i < n; i++) bkt[s[i]]++;
+  i64 sum = 0;
+  for (i64 i = 0; i < K; i++) {
+    sum += bkt[i];
+    bkt[i] = end ? sum : sum - bkt[i];
+  }
+}
+
+void induce_sa_l(const std::vector<bool>& t, i64* sa, const i64* s, i64* bkt,
+                 i64 n, i64 K) {
+  get_buckets(s, bkt, n, K, false);
+  for (i64 i = 0; i < n; i++) {
+    i64 j = sa[i] - 1;
+    if (sa[i] > 0 && !t[j]) sa[bkt[s[j]]++] = j;
+  }
+}
+
+void induce_sa_s(const std::vector<bool>& t, i64* sa, const i64* s, i64* bkt,
+                 i64 n, i64 K) {
+  get_buckets(s, bkt, n, K, true);
+  for (i64 i = n - 1; i >= 0; i--) {
+    i64 j = sa[i] - 1;
+    if (sa[i] > 0 && t[j]) sa[--bkt[s[j]]] = j;
+  }
+}
+
+void sais(const i64* s, i64* sa, i64 n, i64 K) {
+  if (n == 1) { sa[0] = 0; return; }
+
+  std::vector<bool> t(n);
+  t[n - 1] = true;
+  if (n >= 2) t[n - 2] = false;
+  for (i64 i = n - 3; i >= 0; i--)
+    t[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1]);
+
+  auto is_lms = [&](i64 i) { return i > 0 && t[i] && !t[i - 1]; };
+
+  std::vector<i64> bkt(K);
+  // Stage 1: sort LMS substrings by induced sorting.
+  std::fill(sa, sa + n, -1);
+  get_buckets(s, bkt.data(), n, K, true);
+  for (i64 i = 1; i < n; i++)
+    if (is_lms(i)) sa[--bkt[s[i]]] = i;
+  induce_sa_l(t, sa, s, bkt.data(), n, K);
+  induce_sa_s(t, sa, s, bkt.data(), n, K);
+
+  // Compact sorted LMS suffixes into sa[0..n1).
+  i64 n1 = 0;
+  for (i64 i = 0; i < n; i++)
+    if (is_lms(sa[i])) sa[n1++] = sa[i];
+
+  // Name LMS substrings.
+  std::fill(sa + n1, sa + n, -1);
+  i64 name = 0, prev = -1;
+  for (i64 i = 0; i < n1; i++) {
+    i64 pos = sa[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (i64 d = 0;; d++) {
+        if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+          diff = true;
+          break;
+        }
+        if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) break;
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    sa[n1 + pos / 2] = name - 1;
+  }
+  for (i64 i = n - 1, j = n - 1; i >= n1; i--)
+    if (sa[i] >= 0) sa[j--] = sa[i];
+
+  // Stage 2: sort the reduced problem.
+  i64* s1 = sa + n - n1;
+  i64* sa1 = sa;
+  if (name < n1) {
+    sais(s1, sa1, n1, name);
+  } else {
+    for (i64 i = 0; i < n1; i++) sa1[s1[i]] = i;
+  }
+
+  // Stage 3: induce the full SA from sorted LMS suffixes.
+  std::vector<i64> lms(n1);
+  for (i64 i = 1, j = 0; i < n; i++)
+    if (is_lms(i)) lms[j++] = i;
+  for (i64 i = 0; i < n1; i++) sa1[i] = lms[sa1[i]];
+  std::fill(sa + n1, sa + n, -1);
+  get_buckets(s, bkt.data(), n, K, true);
+  for (i64 i = n1 - 1; i >= 0; i--) {
+    i64 j = sa[i];
+    sa[i] = -1;
+    sa[--bkt[s[j]]] = j;
+  }
+  induce_sa_l(t, sa, s, bkt.data(), n, K);
+  induce_sa_s(t, sa, s, bkt.data(), n, K);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the merged-collection index.
+//
+//   concat      — all sequences back to back, no terminators (u8 bytes)
+//   seq_lens    — length of each sequence (num_seqs entries)
+//   num_seqs    — number of documents
+//   ebwt/lcp/da — caller-allocated outputs of size total = sum(len_i + 1)
+//
+// Returns 0 on success, negative on error.
+int64_t lime_build_index(const uint8_t* concat, const int64_t* seq_lens,
+                         int64_t num_seqs, uint8_t* ebwt, uint32_t* lcp,
+                         uint32_t* da) {
+  if (num_seqs <= 0) return -1;
+  i64 total = 0;
+  for (i64 i = 0; i < num_seqs; i++) total += seq_lens[i] + 1;
+
+  // Integer string: terminator of seq i -> 1 + i (document order),
+  // byte b -> 1 + num_seqs + b; global sentinel 0 appended.
+  const i64 n = total + 1;
+  const i64 K = 1 + num_seqs + 256;
+  std::vector<i64> s(n);
+  std::vector<i64> doc_of(n);
+  std::vector<bool> seq_start(n, false);
+  {
+    i64 w = 0, r = 0;
+    for (i64 d = 0; d < num_seqs; d++) {
+      seq_start[w] = true;
+      for (i64 k = 0; k < seq_lens[d]; k++, w++, r++) {
+        s[w] = 1 + num_seqs + concat[r];
+        doc_of[w] = d;
+      }
+      s[w] = 1 + d;
+      doc_of[w] = d;
+      w++;
+    }
+    s[w] = 0;
+    doc_of[w] = num_seqs - 1;
+  }
+
+  std::vector<i64> sa(n);
+  sais(s.data(), sa.data(), n, K);
+  // sa[0] is the global sentinel; rows are sa[1..n).
+
+  // Kasai LCP over the integer string.  Rows exclude the sentinel:
+  // row x = sa[x+1]; rank[i] = row index of suffix i; the predecessor of
+  // row r is sa[r].  Terminators are pairwise distinct and every suffix
+  // hits one before the global sentinel, so the extension loop always
+  // terminates in bounds and lcp never crosses a terminator.
+  std::vector<i64> rank(total);
+  for (i64 i = 1; i < n; i++) rank[sa[i]] = i - 1;
+  {
+    std::vector<i64> lcp64(total, 0);
+    i64 h = 0;
+    for (i64 i = 0; i < total; i++) {
+      i64 r = rank[i];
+      if (r > 0) {
+        i64 j = sa[r];
+        while (s[i + h] == s[j + h]) h++;
+        lcp64[r] = h;
+        if (h > 0) h--;
+      } else {
+        h = 0;
+      }
+    }
+    for (i64 x = 0; x < total; x++)
+      lcp[x] = static_cast<uint32_t>(lcp64[x]);
+  }
+
+  for (i64 x = 0; x < total; x++) {
+    i64 p = sa[x + 1];
+    da[x] = static_cast<uint32_t>(doc_of[p]);
+    if (seq_start[p]) {
+      ebwt[x] = '$';
+    } else {
+      i64 v = s[p - 1];
+      ebwt[x] = (v >= 1 + num_seqs) ? static_cast<uint8_t>(v - 1 - num_seqs)
+                                    : '$';
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -29,10 +29,9 @@ def _unanimous(tax: jnp.ndarray, mask: jnp.ndarray):
     return any_ & (tmin == tmax), tmax
 
 
-@functools.partial(jax.jit, static_argnames=("num_file", "tax_rank",
-                                             "assign_higher"))
-def _cascade(dense, max_sim, tax, rank_matrix, valid_t, error, num_file: int,
-             tax_rank: int, assign_higher: bool):
+def cascade_core(dense, max_sim, tax, rank_matrix, valid_t, error,
+                 num_file: int, tax_rank: int, assign_higher: bool):
+    """Pure-jnp cascade body — reused by the sharded pipeline."""
     B = dense.shape[0]
     neg = jnp.float32(-1.0)
     types = jnp.zeros(B, dtype=jnp.int8)
@@ -114,24 +113,21 @@ def _cascade(dense, max_sim, tax, rank_matrix, valid_t, error, num_file: int,
     return types, out_tax, out_sim
 
 
+_cascade = jax.jit(cascade_core,
+                   static_argnames=("num_file", "tax_rank", "assign_higher"))
+
+
 def classify_reads_tpu(dense: np.ndarray, max_sim: np.ndarray,
                        tax: np.ndarray, rank_matrix: np.ndarray | None,
                        tax_rank: int, error: np.float32,
                        assign_higher: bool) -> ClassifyResult:
     """Drop-in TPU equivalent of :func:`classify_ops.classify_reads`."""
     B, F, T = dense.shape
-    # Pad genomes to the lane width; padded genomes have dense==0 and are
-    # excluded from every candidate mask (dense > 0 / sim-within-error of a
-    # positive max), so they never affect reductions.
-    Tp = max(128, -(-T // 128) * 128)
-    if Tp != T:
-        dense = np.pad(dense, ((0, 0), (0, 0), (0, Tp - T)))
-        tax = np.pad(tax, (0, Tp - T))
-        if rank_matrix is not None:
-            rank_matrix = np.pad(rank_matrix, ((0, 0), (0, Tp - T)))
+    # No host-side lane padding — XLA pads internally, and shipping padded
+    # tensors through the host->device link costs real bandwidth.
     rm = (jnp.asarray(rank_matrix) if rank_matrix is not None
-          else jnp.zeros((NUM_RANKS, Tp), jnp.uint32))
-    valid_t = np.arange(Tp) < T
+          else jnp.zeros((NUM_RANKS, T), jnp.uint32))
+    valid_t = np.ones(T, dtype=bool)
     types, out_tax, out_sim = _cascade(
         jnp.asarray(dense), jnp.asarray(max_sim), jnp.asarray(tax), rm,
         jnp.asarray(valid_t), jnp.float32(error), F, tax_rank, assign_higher)

@@ -2,12 +2,6 @@
 
 Design notes (TPU-first re-derivation, not a translation):
 
-**Cluster detection** is a segmented scan: ``m[i] = lcp[i] >= alpha``; block
-boundaries carry one bit of "previous m" state — the whole straddle protocol
-of the reference (src/ClusterLCP.cpp:196-264) collapses into that carry.
-Blocks of the (lcp, da) stream are compared on device; boundary compaction
-runs on host over the tiny boundary masks.
-
 **Scoring** avoids the reference's per-cluster fseek + std::sort + histogram
 loops (src/ClusterBWT_DA.cpp:299-347) entirely, via an occurrence-matching
 identity: with per-position occurrence index
@@ -16,29 +10,39 @@ identity: with per-position occurrence index
 
 the symbol-aware score of a (read r, genome g) pair in a cluster is exactly
 
-    t(r,g) = #{ (i,j) : doc[i]=r, doc[j]=g, sym[i]=sym[j], occ[i]=occ[j],
-                occ[j] < 255 }
+    t(r,g) = #{ (i,j) : doc[i]=r, doc[j]=g, sym[i]=sym[j], occ[i]=occ[j] }
 
 because matching the k-th occurrence of (r,s) with the k-th occurrence of
-(g,s) enumerates min(count_r(s), min(count_g(s), 255)) pairs per symbol —
-the same sum the reference computes from histograms (the occ[j] < 255 bound
-reproduces the genome-counter saturation, src/ClusterBWT_DA.cpp:96).  This
-is pure integer, branch-free, and needs only O(L^2) elementwise work per
-cluster — so clusters are bucketed by length, padded to (B, L) tiles, and
-scored as batched (B, L, L) tensor ops feeding one scatter-add, with no
-sort anywhere.
+(g,s) enumerates min(count_r(s), count_g(s)) pairs per symbol — the same
+sum the reference computes from histograms.  Since clusters are bounded by
+``window`` positions, "same cluster" for a pair at distance o is just
+AND(lcp[k] >= alpha, k in (i-o, i]), and the whole scoring pass becomes
+O(N * window) *banded* vector ops over the position stream feeding
+scatter-adds — one device dispatch per collection, no cluster gathers, no
+sorts (see lime_tpu/parallel/sharded.py for the kernel and its SPMD
+sharding).
 
-Two cluster classes take the exact host path instead (both rare):
+Cluster classes the identity cannot express take the exact host path, masked
+out of the kernel via a per-position emit gate and rescored on host (both
+rare):
 
 - clusters containing IUPAC-degenerate symbols (ranks 4..14), where the
   reference's stateful leftover waterfall applies (ClusterBWT_DA.cpp:146-177);
-- clusters longer than ``_MAX_TILE_LEN``.
+- clusters longer than min(255, max observed length) — beyond 255 the
+  reference's genome counters saturate (ClusterBWT_DA.cpp:96), which the
+  occurrence identity does not model.
 
 Known (documented) divergence: the reference's *read* counters are
 unsaturated uchar and would wrap at a count of exactly 256 occurrences of
 one (read, symbol) in one cluster; that requires alpha <= 1 and a 255bp
 single-letter read, impossible in valid configurations.  The host executor
 reproduces the wrap; this path treats counts as exact.
+
+**Cluster detection** is a segmented scan.  The standalone step-1 artifact
+(.clrs) is pure streaming at memory bandwidth with a one-bit carry — the
+host implementation is already optimal for it and avoids a device round
+trip; :func:`find_clusters_tpu` exists for the fused/sharded path where the
+stream is already device-resident.
 """
 
 from __future__ import annotations
@@ -54,13 +58,16 @@ import jax.numpy as jnp
 from ..config import LimeConfig
 from ..constants import SYMBOL_RANK_LUT
 
-_MAX_TILE_LEN = 512  # clusters longer than this go to the host path
-_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
-_TILE_BATCH = {8: 4096, 16: 2048, 32: 1024, 64: 512, 128: 128, 256: 32, 512: 8}
+_BLOCK = 1 << 20  # pad streams to block multiples for stable jit shapes
+
+# bytes whose symbol rank is IUPAC-degenerate (4..14)
+_DEGENERATE_BYTE = np.zeros(256, dtype=bool)
+_DEGENERATE_BYTE[(SYMBOL_RANK_LUT >= 4) & (SYMBOL_RANK_LUT <= 14)] = True
 
 
 # ---------------------------------------------------------------------------
-# Step 1 — cluster detection
+# Step 1 — cluster detection (device-assisted; used by tests and the fused
+# path — the standalone stage uses the host scan, see module docstring)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("alpha",))
@@ -83,7 +90,6 @@ def find_clusters_tpu(lcp: np.ndarray, da: np.ndarray, num_reads: int,
         return np.empty(0, np.int64), np.empty(0, np.int64)
     starts_l: List[np.ndarray] = []
     ends_l: List[np.ndarray] = []
-    read_counts = np.zeros(0, np.int64)
     csum_parts: List[np.ndarray] = []
     # prev_m=True for the first block reproduces the reference's
     # skip-leading rule (a run touching position 0 emits no start).
@@ -98,7 +104,6 @@ def find_clusters_tpu(lcp: np.ndarray, da: np.ndarray, num_reads: int,
         starts_l.append(np.flatnonzero(s) + lo)
         ends_l.append(np.flatnonzero(e) + lo)
         csum_parts.append(np.cumsum(r, dtype=np.int64))
-    # Global read-indicator cumsum (prefix over blocks).
     base = 0
     for part in csum_parts:
         part += base
@@ -107,8 +112,6 @@ def find_clusters_tpu(lcp: np.ndarray, da: np.ndarray, num_reads: int,
 
     run_starts = np.concatenate(starts_l) if starts_l else np.empty(0, np.int64)
     run_ends = np.concatenate(ends_l) if ends_l else np.empty(0, np.int64)
-    # Drop an unmatched leading end (run touching position 0) and close a
-    # trailing open run at n.
     if len(run_ends) and (len(run_starts) == 0 or run_ends[0] <= run_starts[0]):
         run_ends = run_ends[1:]
     if len(run_starts) > len(run_ends):
@@ -122,61 +125,45 @@ def find_clusters_tpu(lcp: np.ndarray, da: np.ndarray, num_reads: int,
 
 
 # ---------------------------------------------------------------------------
-# Step 2 — bucketed occurrence-matching scoring
+# Step 2 — banded occurrence-matching scoring (single dispatch/collection)
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_len", "num_reads", "use_ebwt"),
-    donate_argnums=(0,),
-)
-def _score_tile(sim: jnp.ndarray, da_arr: jnp.ndarray, sym_arr: jnp.ndarray,
-                starts: jnp.ndarray, lens: jnp.ndarray, tile_len: int,
-                num_reads: int, use_ebwt: bool):
-    """Score a (B,) batch of clusters padded to ``tile_len``.
+@functools.partial(jax.jit, static_argnames=("num_reads", "num_refs"))
+def _banded_score(m, doc, sym, emit_ok, window, num_reads: int,
+                  num_refs: int):
+    from ..parallel.sharded import banded_partial_sim
 
-    Returns (updated sim accumulator, per-cluster degenerate flags).
-    Degenerate clusters contribute nothing here; the host rescores them.
-    """
-    L = tile_len
-    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = lane < lens[:, None]
-    pos = starts[:, None] + lane
-    pos = jnp.where(valid, pos, 0)
-    doc = da_arr[pos].astype(jnp.int32)
-    if use_ebwt:
-        sym = sym_arr[pos].astype(jnp.int32)
-        deg = jnp.any((sym >= 4) & (sym <= 14) & valid, axis=1)
-    else:
-        sym = jnp.zeros_like(doc)
-        deg = jnp.zeros(doc.shape[0], dtype=bool)
+    return banded_partial_sim(m, doc, sym, num_reads, num_refs, window,
+                              emit_ok=emit_ok)
 
-    same = ((doc[:, :, None] == doc[:, None, :])
-            & (sym[:, :, None] == sym[:, None, :])
-            & valid[:, :, None] & valid[:, None, :])
-    tri = jnp.tril(jnp.ones((L, L), dtype=bool), -1)
-    occ = jnp.sum(same & tri[None], axis=2, dtype=jnp.int32)  # (B, L)
 
-    is_read = (doc < num_reads) & valid
-    is_gen = jnp.logical_not(doc < num_reads) & valid
-    match = (is_read[:, :, None] & is_gen[:, None, :]
-             & (sym[:, :, None] == sym[:, None, :])
-             & (occ[:, :, None] == occ[:, None, :])
-             & (occ[:, None, :] < 255)
-             & jnp.logical_not(deg[:, None, None]))
-
-    r_idx = jnp.where(match, doc[:, :, None], 0)
-    g_idx = jnp.where(match, doc[:, None, :] - num_reads, 0)
-    sim = sim.at[r_idx.reshape(-1), g_idx.reshape(-1)].add(
-        match.reshape(-1).astype(jnp.int32), mode="drop")
-    return sim, deg
+def _bad_cluster_mask(p_start: np.ndarray, lens: np.ndarray,
+                      ebwt: np.ndarray | None, window: int,
+                      use_ebwt: bool, n: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(per-position emit gate, indices of host-rescored clusters)."""
+    bad = lens > window
+    if use_ebwt and ebwt is not None:
+        deg_pos = np.flatnonzero(_DEGENERATE_BYTE[np.asarray(ebwt)])
+        if len(deg_pos):
+            cid = np.searchsorted(p_start, deg_pos, side="right") - 1
+            inside = (cid >= 0) & (deg_pos < p_start[cid] + lens[cid])
+            bad[np.unique(cid[inside])] = True
+    bad_idx = np.flatnonzero(bad)
+    ok = np.ones(n, dtype=bool)
+    for c in bad_idx:  # rare
+        ok[p_start[c]:p_start[c] + lens[c]] = False
+    return ok, bad_idx
 
 
 def score_clusters_tpu(p_start: np.ndarray, lens: np.ndarray, da: np.ndarray,
                        ebwt: np.ndarray | None, num_reads: int, num_refs: int,
-                       config: LimeConfig) -> np.ndarray:
-    """Dense similarity matrix via the bucketed TPU kernel.
+                       config: LimeConfig, alpha: int | None = None,
+                       lcp: np.ndarray | None = None) -> np.ndarray:
+    """Dense similarity matrix via the banded TPU kernel.
 
+    Needs the lcp stream (+ alpha) to form the in-cluster mask; falls back
+    to reconstructing the mask from the cluster list when lcp is absent.
     Returns the matrix in ``config.sim_dtype`` with the reference's counter
     semantics (u8 wraps mod 256).
     """
@@ -184,51 +171,51 @@ def score_clusters_tpu(p_start: np.ndarray, lens: np.ndarray, da: np.ndarray,
 
     p_start = np.asarray(p_start, np.int64)
     lens = np.asarray(lens, np.int64)
-    sim_dev = jnp.zeros((num_reads, num_refs), dtype=jnp.int32)
-    if config.use_ebwt:
-        if ebwt is None:
-            raise ValueError("use_ebwt=True requires the .ebwt array")
-        sym_host = SYMBOL_RANK_LUT[np.asarray(ebwt)]
+    if config.use_ebwt and ebwt is None:
+        raise ValueError("use_ebwt=True requires the .ebwt array")
+    if len(p_start) == 0:
+        return np.zeros((num_reads, num_refs), dtype=config.sim_dtype)
+
+    n = len(da)
+    if lcp is not None and alpha is not None:
+        m = np.asarray(lcp) >= alpha
+        m[0] = False
     else:
-        sym_host = np.zeros(1, np.uint8)
-    da_dev = jnp.asarray(np.asarray(da))
-    sym_dev = jnp.asarray(sym_host)
+        # reconstruct the run mask from the cluster list: rows
+        # [p_start+1, p_start+len) carry m=True
+        m = np.zeros(n, dtype=bool)
+        total = int((lens - 1).sum())
+        offs = np.concatenate([[0], np.cumsum(lens[:-1] - 1)])
+        within = np.arange(total) - np.repeat(offs, lens - 1)
+        m[np.repeat(p_start + 1, lens - 1) + within] = True
 
-    host_idx: List[np.ndarray] = [np.flatnonzero(lens > _MAX_TILE_LEN)]
+    window = int(min(max(int(lens.max()), 1), 255))
+    ok, bad_idx = _bad_cluster_mask(p_start, lens, ebwt, window,
+                                    config.use_ebwt, n)
 
-    order = np.argsort(lens, kind="stable")
-    sizes = lens[order]
-    for bi, L in enumerate(_BUCKETS):
-        lo_len = 0 if bi == 0 else _BUCKETS[bi - 1]
-        sel = order[(sizes > lo_len) & (sizes <= L)]
-        if len(sel) == 0:
-            continue
-        batch = _TILE_BATCH[L]
-        for b0 in range(0, len(sel), batch):
-            chunk = sel[b0:b0 + batch]
-            cs = np.zeros(batch, np.int64)
-            cl = np.zeros(batch, np.int64)
-            cs[:len(chunk)] = p_start[chunk]
-            cl[:len(chunk)] = lens[chunk]
-            sim_dev, deg = _score_tile(
-                sim_dev, da_dev, sym_dev,
-                jnp.asarray(cs, jnp.int32), jnp.asarray(cl, jnp.int32),
-                L, num_reads, config.use_ebwt)
-            deg_np = np.asarray(deg)[:len(chunk)]
-            if deg_np.any():
-                host_idx.append(chunk[deg_np])
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    pad = n_pad - n
+
+    def padded(x, fill=0):
+        return np.pad(x, (0, pad), constant_values=fill)
+
+    sym = (SYMBOL_RANK_LUT[np.asarray(ebwt)].astype(np.int8)
+           if config.use_ebwt else np.zeros(n, np.int8))
+    sim_dev = _banded_score(
+        jnp.asarray(padded(m, False)),
+        jnp.asarray(padded(np.asarray(da, np.int32))),
+        jnp.asarray(padded(sym)),
+        jnp.asarray(padded(ok, False)),
+        jnp.int32(window), num_reads, num_refs)
 
     sim = np.asarray(jax.device_get(sim_dev)).astype(np.int64)
 
-    redo = np.concatenate(host_idx)
-    if len(redo):
-        redo.sort()
-        sim_host = score_clusters(
-            p_start[redo], lens[redo], np.asarray(da),
+    if len(bad_idx):
+        sim += score_clusters(
+            p_start[bad_idx], lens[bad_idx], np.asarray(da),
             None if ebwt is None else np.asarray(ebwt),
             num_reads, num_refs,
-            config.replace(wide_sim=True))  # wide: exact int accumulation
-        sim += sim_host.astype(np.int64)
+            config.replace(wide_sim=True)).astype(np.int64)
 
     if config.sim_modulus:
         return (sim % config.sim_modulus).astype(config.sim_dtype)

@@ -1,0 +1,159 @@
+"""Single-dispatch-class fused pipeline: collections -> per-read assignments.
+
+The staged path (pipeline.py) mirrors the reference's file-per-stage
+architecture.  This module is the serving path: banded scan+score runs as
+one device program per collection, dispatched asynchronously so the host
+planning of collection i+1 and the upload of its packed stream overlap the
+device compute of collection i; a final program fuses counter wrap,
+normalization, beta gating and the 4-stage classify cascade.  A run costs
+3 bytes/position of upload and a per-read-sized download.
+
+Host-side planning per collection (cheap, vectorized numpy):
+
+- boundary scan -> cluster list (the step-1 artifact, reused for routing);
+- clusters the banded kernel cannot express (IUPAC-degenerate or longer
+  than 255) are cleared from the run mask and rescored exactly on host;
+  their scores enter the device program as an additive correction, which
+  commutes with the mod-256 counter wrap;
+- the run mask and symbol ranks pack into one byte per position
+  (bit 6 = in-run, bits 0..3 = symbol rank); document ids ship as u16
+  when the collection has < 65535 documents.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LimeConfig
+from ..constants import SYMBOL_RANK_LUT
+from ..formats.arrays import open_da, open_ebwt, open_lcp
+from ..formats.lineage import Lineage
+from ..ops.classify_ops import ClassifyResult
+from ..ops.classify_tpu import cascade_core
+from ..ops.cluster_scan import find_clusters
+from ..ops.fused_pass import _bad_cluster_mask
+from ..ops.scoring import score_clusters
+from ..utils.timing import PhaseTimer
+
+_BLOCK = 1 << 20
+_M_BIT = 6
+
+
+@functools.partial(jax.jit, static_argnames=("num_reads", "num_refs"))
+def _score_program(packed, doc, window, num_reads: int, num_refs: int):
+    from ..parallel.sharded import banded_partial_sim
+
+    m = ((packed >> _M_BIT) & 1).astype(bool)
+    sym = (packed & 15).astype(jnp.int8)
+    return banded_partial_sim(m, doc.astype(jnp.int32), sym,
+                              num_reads, num_refs, window)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_files", "tax_rank", "assign_higher", "sim_modulus",
+                     "has_corr"))
+def _classify_program(sims, corr, tax, rank_matrix, valid_t, error, norm,
+                      beta, num_files: int, tax_rank: int,
+                      assign_higher: bool, sim_modulus: int | None,
+                      has_corr: bool):
+    sims = jnp.stack(sims)  # (F, R, G) i32
+    if has_corr:
+        sims = sims + corr
+    if sim_modulus:
+        sims = sims % sim_modulus
+    norm_rows = sims.astype(jnp.float32) / norm
+    rowmax = jnp.max(norm_rows, axis=2)  # (F, R)
+    qualify = rowmax > beta
+    dense = jnp.transpose(
+        jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
+    maxs = jnp.where(qualify, rowmax, 0.0).T
+    return cascade_core(dense, maxs, tax, rank_matrix, valid_t, error,
+                        num_files, tax_rank, assign_higher)
+
+
+def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
+              lineage: Lineage, read_len: int, config: LimeConfig,
+              ) -> ClassifyResult:
+    """Async-pipelined classification over 2 or 4 collection indexes."""
+    timer = PhaseTimer("fused_pipeline")
+    F = len(collections)
+    if F not in (2, 4):
+        raise ValueError("fused pipeline takes 2 or 4 collections")
+
+    use_u16 = (num_reads + num_genomes) < 0xFFFF
+    corr = np.zeros((F, num_reads, num_genomes), dtype=np.int32)
+    has_corr = False
+    sims_dev = []
+
+    def plan(fasta):
+        """Host planning for one collection (runs in a worker thread)."""
+        lcp = open_lcp(fasta)
+        da = open_da(fasta)
+        ebwt = open_ebwt(fasta) if config.use_ebwt else None
+        n = len(lcp)
+        n_pad = -(-n // _BLOCK) * _BLOCK
+        p_start, lens = find_clusters(lcp, da, num_reads, config.alpha)
+
+        m = lcp >= config.alpha
+        m[0] = False
+        window = 1
+        corr_f = None
+        if len(p_start):
+            window = int(min(int(lens.max()), 255))
+            ok, bad_idx = _bad_cluster_mask(p_start, lens, ebwt, window,
+                                            config.use_ebwt, n)
+            # whole-cluster masking: clearing m removes the cluster's
+            # pairs and (irrelevant) occ values in one stroke
+            m &= ok
+            if len(bad_idx):
+                corr_f = score_clusters(
+                    p_start[bad_idx], lens[bad_idx], da, ebwt,
+                    num_reads, num_genomes,
+                    config.replace(wide_sim=True)).astype(np.int32)
+
+        sym = (SYMBOL_RANK_LUT[ebwt] if config.use_ebwt
+               else np.zeros(n, np.uint8))
+        packed = np.pad(sym | (m.astype(np.uint8) << _M_BIT), (0, n_pad - n))
+        # pad doc with an out-of-range id: never a read, never a genome
+        doc = np.pad(da.astype(np.uint16 if use_u16 else np.int32),
+                     (0, n_pad - n),
+                     constant_values=num_reads + num_genomes)
+        return packed, doc, window, corr_f
+
+    with timer.phase("score"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(F, 4)) as pool:
+            futures = [pool.submit(plan, c) for c in collections]
+            for fi, fut in enumerate(futures):
+                packed, doc, window, corr_f = fut.result()
+                if corr_f is not None:
+                    has_corr = True
+                    corr[fi] += corr_f
+                # async dispatch: later collections' planning overlaps this
+                # one's upload + device compute
+                sims_dev.append(_score_program(
+                    jax.device_put(packed), jax.device_put(doc),
+                    jnp.int32(window), num_reads, num_genomes))
+
+    with timer.phase("classify"):
+        tax = lineage.at_rank(config.tax_rank).astype(np.uint32)
+        rank_matrix = lineage.taxids.astype(np.uint32)
+        norm = jnp.float32(np.uint32(read_len + 1 - config.alpha))
+        types, taxid, sim = _classify_program(
+            tuple(sims_dev), jnp.asarray(corr), jnp.asarray(tax),
+            jnp.asarray(rank_matrix), jnp.asarray(np.ones(num_genomes, bool)),
+            jnp.float32(config.error_tolerance), norm,
+            jnp.float32(config.beta), F, config.tax_rank,
+            config.assign_higher, config.sim_modulus, has_corr)
+        result = ClassifyResult(np.asarray(types), np.asarray(taxid),
+                                np.asarray(sim))
+    timer.report()
+    return result

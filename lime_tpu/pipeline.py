@@ -60,13 +60,12 @@ def cluster_lcp(fasta_path: str, num_reads: int, num_genomes: int,
         lcp = open_lcp(fasta_path)
         da = open_da(fasta_path)
     with timer.phase("scan"):
-        if config.executor == "tpu":
-            from .ops.fused_pass import find_clusters_tpu
-            p_start, lens = find_clusters_tpu(lcp, da, num_reads, config.alpha,
-                                              block=config.block_positions)
-        else:
-            p_start, lens = find_clusters(np.asarray(lcp), np.asarray(da),
-                                          num_reads, config.alpha)
+        # The standalone boundary scan is pure streaming at memory bandwidth
+        # with a one-bit carry; the host implementation is optimal for it.
+        # The TPU executor's value is in the fused scoring pass, where the
+        # same mask is consumed on device (ops/fused_pass.py).
+        p_start, lens = find_clusters(np.asarray(lcp), np.asarray(da),
+                                      num_reads, config.alpha)
     with timer.phase("write"):
         write_clusters(clusters_path_for(fasta_path, config.alpha), p_start, lens)
         meta = cluster_metadata(p_start, lens, num_reads, num_genomes, config.alpha)
@@ -102,7 +101,9 @@ def cluster_bwt(fasta_path: str, read_len: int,
         if config.executor == "tpu":
             from .ops.fused_pass import score_clusters_tpu
             sim = score_clusters_tpu(p_start, lens, da, ebwt, meta.num_reads,
-                                     meta.num_genomes, config)
+                                     meta.num_genomes, config,
+                                     alpha=meta.alpha,
+                                     lcp=open_lcp(fasta_path))
         else:
             sim = score_clusters(p_start, lens, np.asarray(da),
                                  None if ebwt is None else np.asarray(ebwt),
@@ -199,6 +200,28 @@ def classify(res_prefixes: Sequence[str], num_reads: int, num_genomes: int,
                            unclassified=counts["U"])
 
 
+def _run_fused(collections, output_path, num_reads, num_genomes,
+               lineage_path, read_len, config) -> ClassifySummary:
+    """Serving path: one device dispatch for the whole run (no artifacts)."""
+    from .formats.lineage import read_lineage as _rl
+    from .ops.fused_pipeline import run_fused
+
+    lineage = _rl(lineage_path)
+    if lineage.num_genomes != num_genomes:
+        raise ValueError(
+            f"lineage has {lineage.num_genomes} genomes, expected "
+            f"{num_genomes}: poor taxonomy information to classify")
+    res = run_fused(collections, num_reads, num_genomes, lineage, read_len,
+                    config)
+    with open(output_path, "w") as out:
+        out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
+        _write_csv_block(out, 0, res)
+    c = res.counts()
+    return ClassifySummary(num_reads=num_reads, classified=c["C"],
+                           higher=c["H"], ambiguous=c["A"],
+                           unclassified=c["U"])
+
+
 def _write_csv_block(out, base: int, res) -> None:
     """Emit CSV rows matching the reference's output (src/Classify.cpp:722-731)."""
     lines: List[str] = []
@@ -244,6 +267,9 @@ def run_single(collections: Sequence[str], output_path: str, num_reads: int,
 
 def _run(collections, output_path, num_reads, num_genomes, lineage_path,
          read_len, config, keep_results) -> ClassifySummary:
+    if config.fused and config.executor == "tpu":
+        return _run_fused(collections, output_path, num_reads, num_genomes,
+                          lineage_path, read_len, config)
     for c in collections:
         cluster_lcp(c, num_reads, num_genomes, config)
     res_prefixes = [cluster_bwt(c, read_len, config) for c in collections]

@@ -6,11 +6,22 @@ hardware in CI); the driver separately dry-runs the sharded path.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU backend at interpreter start and
+# pins jax_platforms; tests run on a virtual 8-device CPU mesh instead
+# (LIME_TEST_TPU=1 opts back into the real chip).
+if not os.environ.get("LIME_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), "build", "jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import pytest  # noqa: E402
 

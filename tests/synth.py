@@ -80,7 +80,12 @@ def make_dataset(root: str, num_pairs: int = 400, read_len: int = 100,
             g = int(rng.integers(len(genomes)))
             garr = np.frombuffer(genomes[g], dtype=np.uint8)
             start = int(rng.integers(0, len(garr) - insert_len))
-            frag = garr[start:start + insert_len]
+            window = garr[start:start + insert_len].tobytes()
+            # fragments come from either strand, like a real FR library —
+            # this is what makes all four strand/mate collections match
+            frag = np.frombuffer(
+                reverse_complement(window) if rng.random() < 0.5 else window,
+                dtype=np.uint8)
             r1 = _mutate(rng, frag[:read_len], mutation_rate)
             r2 = _mutate(rng, frag[-read_len:], mutation_rate)
             reads1.append(r1.tobytes())
