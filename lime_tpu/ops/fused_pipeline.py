@@ -147,6 +147,8 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         tax = lineage.at_rank(config.tax_rank).astype(np.uint32)
         rank_matrix = lineage.taxids.astype(np.uint32)
         norm = jnp.float32(np.uint32(read_len + 1 - config.alpha))
+        if not has_corr:  # don't ship an all-zero (F, R, G) tensor
+            corr = np.zeros((F, 1, 1), dtype=np.int32)
         types, taxid, sim = _classify_program(
             tuple(sims_dev), jnp.asarray(corr), jnp.asarray(tax),
             jnp.asarray(rank_matrix), jnp.asarray(np.ones(num_genomes, bool)),
