@@ -61,23 +61,17 @@ def _dataset():
         read_len=READ_LEN, genomes=[], reads1=[], reads2=[])
 
 
-def _time_ours(ds, config) -> float:
+def _run_ours(ds, config) -> float:
     from lime_tpu.pipeline import run_paired
 
     out = os.path.join(DATA_DIR, "bench_ours.csv")
-    # warm: jit compiles + file cache
+    t0 = time.time()
     run_paired(ds.collections, out, ds.num_reads, ds.num_genomes,
                ds.lineage_path, ds.read_len, config)
-    best = float("inf")
-    for _ in range(3):  # the axon relay is noisy; steady-state = best-of-3
-        t0 = time.time()
-        run_paired(ds.collections, out, ds.num_reads, ds.num_genomes,
-                   ds.lineage_path, ds.read_len, config)
-        best = min(best, time.time() - t0)
-    return best
+    return time.time() - t0
 
 
-def _time_reference(ds) -> float:
+def _run_reference(ds) -> float:
     from tests.oracle import OracleBinaries
 
     oracle = OracleBinaries.build()
@@ -118,14 +112,20 @@ def main() -> None:
 
     ds = _dataset()
 
-    ref_t = _time_reference(ds)
+    ref_t = _run_reference(ds)  # also warms the page cache
     warmer.join()
-    _log(f"bench: reference C++ (1 thread): {ref_t:.2f}s "
-         f"({ds.num_reads / ref_t:.0f} reads/s)")
 
     backend = jax.default_backend()
     config = LimeConfig(executor="tpu", fused=True)
-    ours_t = _time_ours(ds, config)
+    ours_t = _run_ours(ds, config)  # warm run (compiles)
+
+    # The host and the tunneled TPU are both noisy shared resources;
+    # interleave best-of-3 measurements of each side.
+    for i in range(3):
+        ref_t = min(ref_t, _run_reference(ds))
+        ours_t = min(ours_t, _run_ours(ds, config))
+    _log(f"bench: reference C++ (1 thread): {ref_t:.2f}s "
+         f"({ds.num_reads / ref_t:.0f} reads/s)")
     _log(f"bench: lime-tpu [{backend}]: {ours_t:.2f}s "
          f"({ds.num_reads / ours_t:.0f} reads/s)")
 

@@ -106,11 +106,11 @@ def main(argv=None) -> int:
         _add_common(p, scoring=True, classify=True)
 
     p = sub.add_parser("preprocess",
-                       help="build the 4 collection indexes from FASTA")
+                       help="build the collection indexes from FASTA")
     p.add_argument("reads1")
-    p.add_argument("reads2", nargs="?", default=None,
-                   help="mate file (omit for single-end)")
     p.add_argument("genomes")
+    p.add_argument("--reads2", default=None,
+                   help="mate file (paired-end; omit for single-end)")
     p.add_argument("--out-dir", default=".")
     p.add_argument("--trlcp", type=int, default=None,
                    help="truncate stored LCP values (safe if >= alpha)")

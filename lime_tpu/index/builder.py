@@ -113,8 +113,12 @@ def build_index(seqs: Sequence[bytes], engine: str = "numpy"
     downstream relies on (reference src/ClusterLCP.cpp:20-23).
 
     ``engine``: 'numpy' (portable prefix doubling), 'native' (C++ SA-IS),
-    or 'auto' (native when a toolchain is available).
+    'tpu' (prefix doubling with on-device sorts), or 'auto' (native when a
+    toolchain is available).
     """
+    if engine == "tpu":
+        from .tpu_builder import build_index_tpu
+        return build_index_tpu(seqs)
     if engine != "numpy":
         from .. import native
         if native.available():

@@ -36,7 +36,6 @@ from ..formats.arrays import open_da, open_ebwt, open_lcp
 from ..formats.lineage import Lineage
 from ..ops.classify_ops import ClassifyResult
 from ..ops.classify_tpu import cascade_core
-from ..ops.cluster_scan import find_clusters
 from ..ops.fused_pass import _bad_cluster_mask
 from ..ops.scoring import score_clusters
 from ..utils.timing import PhaseTimer
@@ -93,19 +92,32 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
     sims_dev = []
 
     def plan(fasta):
-        """Host planning for one collection (runs in a worker thread)."""
+        """Host planning for one collection (runs in a worker thread).
+
+        The kernel needs only the run mask, not the filtered cluster list:
+        clusters without both a read and a genome produce zero pairs by
+        construction, so the membership filter (reference
+        src/ClusterLCP.cpp:220) is skipped here and run boundaries come
+        straight from the mask transitions.
+        """
         lcp = open_lcp(fasta)
         da = open_da(fasta)
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
         n = len(lcp)
         n_pad = -(-n // _BLOCK) * _BLOCK
-        p_start, lens = find_clusters(lcp, da, num_reads, config.alpha)
 
         m = lcp >= config.alpha
         m[0] = False
         window = 1
         corr_f = None
-        if len(p_start):
+        d = np.diff(m.view(np.int8))
+        run_starts = np.flatnonzero(d == 1) + 1
+        run_ends = np.flatnonzero(d == -1) + 1
+        if m[-1]:
+            run_ends = np.append(run_ends, n)
+        if len(run_starts):
+            p_start = run_starts - 1  # cluster rows = run extended one left
+            lens = run_ends - p_start
             window = int(min(int(lens.max()), 255))
             ok, bad_idx = _bad_cluster_mask(p_start, lens, ebwt, window,
                                             config.use_ebwt, n)

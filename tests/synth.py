@@ -35,6 +35,8 @@ class SynthDataset:
     genomes: List[bytes]
     reads1: List[bytes]
     reads2: List[bytes]
+    origins: List[int | None] = None  # source genome per read pair
+    # (None = shuffled negative control)
 
     @property
     def paired_collections(self) -> List[str]:
@@ -74,10 +76,12 @@ def make_dataset(root: str, num_pairs: int = 400, read_len: int = 100,
 
     reads1: List[bytes] = []
     reads2: List[bytes] = []
+    origins: List[int | None] = []
     n_negative = int(num_pairs * negative_fraction)
     for i in range(num_pairs):
         if i < num_pairs - n_negative:
             g = int(rng.integers(len(genomes)))
+            origins.append(g)
             garr = np.frombuffer(genomes[g], dtype=np.uint8)
             start = int(rng.integers(0, len(garr) - insert_len))
             window = garr[start:start + insert_len].tobytes()
@@ -91,6 +95,7 @@ def make_dataset(root: str, num_pairs: int = 400, read_len: int = 100,
             reads1.append(r1.tobytes())
             reads2.append(reverse_complement(r2.tobytes()))
         else:  # shuffled negative control — should classify U
+            origins.append(None)
             reads1.append(rng.choice(BASES, size=read_len).tobytes())
             reads2.append(rng.choice(BASES, size=read_len).tobytes())
 
@@ -112,7 +117,8 @@ def make_dataset(root: str, num_pairs: int = 400, read_len: int = 100,
     return SynthDataset(root=root, collections=collections,
                         lineage_path=lineage_path, num_reads=num_pairs,
                         num_genomes=len(genomes), read_len=read_len,
-                        genomes=genomes, reads1=reads1, reads2=reads2)
+                        genomes=genomes, reads1=reads1, reads2=reads2,
+                        origins=origins)
 
 
 def _write_lineage(path: str, num_genomes: int) -> None:

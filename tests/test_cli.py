@@ -23,7 +23,8 @@ def test_preprocess_and_run_paired(tmp_path, dataset, capsys):
                 dataset.genomes)
 
     out_dir = str(tmp_path / "idx")
-    assert main(["preprocess", r1, r2, g, "--out-dir", out_dir]) == 0
+    assert main(["preprocess", r1, g, "--reads2", r2,
+                 "--out-dir", out_dir]) == 0
     cols = capsys.readouterr().out.strip().splitlines()
     assert len(cols) == 4
     assert read_docs(cols[0]) == dataset.num_reads + dataset.num_genomes
