@@ -1,0 +1,201 @@
+"""Pallas TPU kernel for the banded occurrence-matching scoring pass.
+
+This is the hot op of the whole pipeline (reference src/ClusterBWT_DA.cpp:
+256-358 — there a per-cluster fseek + std::sort + histogram loop).  The
+XLA formulation in :mod:`lime_tpu.parallel.sharded` carries the per-position
+pair-count matrix ``V (L, G)`` through a ``fori_loop`` over band offsets, so
+every offset iteration streams the full V through HBM — ``window``× more
+HBM traffic than the math needs.  This kernel keeps one position tile's V
+in VMEM across *all* offsets and writes it to HBM exactly once:
+
+    HBM traffic = read the packed stream once + write V once,
+
+independent of ``window``.
+
+Layout: V lives as ``(G, T)`` — genomes on sublanes, positions on lanes —
+so every per-offset quantity (masks, shifted partners, occurrence indices)
+stays a ``(1, ext)`` row vector and the genome one-hot is a single
+broadcast compare ``partner_doc (1, T) == iota (G, 1)``.  Band shifts are
+``pltpu.roll`` lane rotations with a *traced* shift, so one compiled
+program serves every window <= 255; rotation wrap pollutes only the first
+``o`` halo lanes, which the math never reads.
+
+V is int8 because it is provably 0/1: within one cluster the occurrence
+index is unique per (document, symbol), so for a fixed read-side position
+(symbol s, occurrence k) and a fixed genome g there is at most one matching
+genome-side position in the entire cluster.
+
+Stream encoding (one byte per position + one i32 doc id):
+
+    bit 6     in-cluster run mask  m[i] = lcp[i] >= alpha  (m[0] := 0)
+    bit 5     emit gate (host-routed clusters cleared; pads cleared)
+    bits 0-3  symbol rank (SYMBOL_RANK_LUT; 0 when use_ebwt=False)
+
+The grid walks position tiles; each program DMAs its tile plus a
+2*W_MAX left / W_MAX right halo of raw stream from HBM (the reference's
+thread-boundary straddle protocol, src/ClusterLCP.cpp:196-264, reduced to
+a halo read), rebuilds occurrence indices locally, and emits the tile's V.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W_MAX = 256     # static band capacity; window <= 255 at runtime
+# The math needs 2*W_MAX left halo (occ lookback of backward partners) and
+# W_MAX right halo (forward partners).  Both are rounded up to 1024 so the
+# per-tile DMA slices stay aligned to the VMEM tiling of every stream dtype
+# (i8 tiles are 4x128 = 512 elements, i32 tiles 8x128 = 1024).
+_HALO_L = 1024
+_HALO_R = 1024
+
+PACK_M_BIT = 6
+PACK_EMIT_BIT = 5
+
+
+def _tile_for(g_pad: int) -> int:
+    """Position-tile size keeping the VMEM V tile (G, T) around ~2 MB."""
+    if g_pad <= 1024:
+        return 2048
+    if g_pad <= 2048:
+        return 1024
+    return 512
+
+
+def _kernel(win_ref, nread_ref, packed_hbm, doc_hbm, out_ref,
+            pk_s, doc_s, v_s, sems, *, tile: int, g_pad: int,
+            interpret: bool):
+    w = win_ref[0, 0]
+    num_reads = nread_ref[0, 0]
+    i = pl.program_id(0)
+    ext = tile + _HALO_L + _HALO_R
+    c0 = _HALO_L  # ext index of the tile's first position
+
+    cp_pk = pltpu.make_async_copy(
+        packed_hbm.at[pl.ds(i * tile, ext)], pk_s, sems.at[0])
+    cp_doc = pltpu.make_async_copy(
+        doc_hbm.at[pl.ds(i * tile, ext)], doc_s, sems.at[1])
+    cp_pk.start()
+    cp_doc.start()
+    cp_pk.wait()
+    cp_doc.wait()
+
+    pk = pk_s[:].reshape(1, ext).astype(jnp.int32)   # (1, ext)
+    doc = doc_s[:].reshape(1, ext)                   # (1, ext) i32
+    m32 = (pk >> PACK_M_BIT) & 1             # dynamic rotate needs 32-bit
+    sym = pk & 15
+
+    if interpret:  # np-backed interpreter lacks the TPU rotate primitive
+        def rot(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def rot(x, shift):
+            return pltpu.roll(x, shift, axis=1)
+
+    def bwd(x, o):           # value at j - o (wrap garbage in j < o, unread)
+        return rot(x, o)
+
+    def fwd(x, o):           # value at j + o
+        return rot(x, ext - o)
+
+    def occ_step(o, carry):
+        and1, occ = carry
+        same = (and1 & ((doc == bwd(doc, o)) & (sym == bwd(sym, o)))
+                .astype(jnp.int32))
+        and1 = and1 & bwd(m32, o)
+        return and1, occ + same
+
+    _, occ = lax.fori_loop(1, w + 1, occ_step,
+                           (m32, jnp.zeros((1, ext), jnp.int32)))
+
+    v_s[:] = jnp.zeros_like(v_s)
+    g_col = lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
+    sl = lambda x: x[:, c0:c0 + tile]  # noqa: E731  static center slice
+
+    def pair_step(o, and2):
+        # backward partner j = i - o: same-cluster = AND(m, (j, i]) = and2[i]
+        doc_b, sym_b, occ_b = bwd(doc, o), bwd(sym, o), bwd(occ, o)
+        hit_b = and2 & ((sym == sym_b) & (occ == occ_b)).astype(jnp.int32)
+        # forward partner j = i + o: AND(m, (i, j]) = and2 evaluated at j
+        doc_f, sym_f, occ_f = fwd(doc, o), fwd(sym, o), fwd(occ, o)
+        hit_f = fwd(and2, o) & ((sym == sym_f) & (occ == occ_f)
+                                ).astype(jnp.int32)
+        # genome one-hot: negative (read-side) partners never match g_col
+        vb = (sl(hit_b) != 0) & ((sl(doc_b) - num_reads) == g_col)  # (G, T)
+        vf = (sl(hit_f) != 0) & ((sl(doc_f) - num_reads) == g_col)
+        v_s[:] = v_s[:] | (vb | vf).astype(jnp.int8)
+        return and2 & bwd(m32, o)
+
+    lax.fori_loop(1, w + 1, pair_step, m32)
+
+    emit = ((pk >> PACK_EMIT_BIT) & 1) * (doc < num_reads).astype(jnp.int32)
+    out_ref[:] = v_s[:] & sl(emit).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_reads", "num_refs", "interpret"))
+def banded_pair_matrix(packed: jnp.ndarray, doc: jnp.ndarray, window,
+                       num_reads: int, num_refs: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Per-position genome-match matrix ``V (n, G_pad)`` int8 (0/1 entries).
+
+    ``packed`` u8 and ``doc`` i32 are 1D position streams (see module
+    docstring for the byte layout); ``window`` is a traced i32 <= 255.
+    ``V[i, g] = 1`` iff position i is an emitting read-side element whose
+    (symbol, occurrence) matches genome ``g`` somewhere in its cluster.
+    Rows for non-emitting positions are zero.  G_pad = num_refs rounded up
+    to the 128-lane boundary; callers slice ``[:, :num_refs]`` semantics
+    out of the scatter result.
+    """
+    n = packed.shape[0]
+    g_pad = max(128, -(-num_refs // 128) * 128)
+    tile = _tile_for(g_pad)
+    n_pad = -(-n // tile) * tile
+
+    pk = jnp.pad(packed, (_HALO_L, n_pad - n + _HALO_R))
+    dc = jnp.pad(doc.astype(jnp.int32), (_HALO_L, n_pad - n + _HALO_R),
+                 constant_values=jnp.int32(-0x7FFFFFFF))
+
+    win = jnp.asarray(window, jnp.int32).reshape(1, 1)
+    nread = jnp.asarray(num_reads, jnp.int32).reshape(1, 1)
+    ext = tile + _HALO_L + _HALO_R
+
+    v_gl = pl.pallas_call(
+        functools.partial(_kernel, tile=tile, g_pad=g_pad,
+                          interpret=interpret),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((g_pad, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((ext,), jnp.uint8),
+            pltpu.VMEM((ext,), jnp.int32),
+            pltpu.VMEM((g_pad, tile), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(win, nread, pk, dc)
+    return v_gl[:, :n].T
+
+
+def pack_stream(m, emit, sym):
+    """Pack (m, emit, sym-rank) into the kernel's one-byte position code."""
+    xp = np if isinstance(m, np.ndarray) else jnp
+    return (xp.asarray(sym).astype(xp.uint8)
+            | (xp.asarray(m).astype(xp.uint8) << PACK_M_BIT)
+            | (xp.asarray(emit).astype(xp.uint8) << PACK_EMIT_BIT))

@@ -67,8 +67,8 @@ def _pad2(x, fill=0):
 
 
 def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
-                       window, emit_ok: Optional[jnp.ndarray] = None
-                       ) -> jnp.ndarray:
+                       window, emit_ok: Optional[jnp.ndarray] = None,
+                       impl: str = "auto") -> jnp.ndarray:
     """Partial (num_reads, num_refs) i32 similarity from one stream.
 
     - ``m``: the in-run indicator lcp >= alpha, with position 0 forced False
@@ -92,6 +92,11 @@ def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
     sym = sym.astype(jnp.int32)
     if emit_ok is None:
         emit_ok = jnp.ones(L, dtype=bool)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return _pallas_partial_sim(m, doc, sym, num_reads, num_refs, window,
+                                   emit_ok)
 
     pad_m = _pad2(m)
     pad_doc = _pad2(doc, -1)
@@ -150,6 +155,72 @@ def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
     for p in parts:
         sim = sim + p
     return sim[:num_reads]
+
+
+def _scatter_sim(v, rows, num_reads: int, k: int = 8) -> jnp.ndarray:
+    """Segment-sum V rows by read id: one (R+1, G) i32 scatter, k-way split
+    (independent partial scatters pipeline better on this hardware)."""
+    L, g_pad = v.shape
+    chunk = -(-L // k)
+    sim = jnp.zeros((num_reads + 1, g_pad), jnp.int32)
+    parts = [
+        jnp.zeros((num_reads + 1, g_pad), jnp.int32)
+        .at[rows[i * chunk:(i + 1) * chunk], :]
+        .add(v[i * chunk:(i + 1) * chunk].astype(jnp.int32))
+        for i in range(k)
+    ]
+    for p in parts:
+        sim = sim + p
+    return sim
+
+
+def _pallas_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
+                        window, emit_ok, block: Optional[int] = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Partial similarity via the Pallas banded kernel (ops/pallas_kernels).
+
+    Streams the position axis in HBM-bounded blocks: per block, the kernel
+    emits the per-position genome-match matrix V once (VMEM-resident across
+    all band offsets), then a scatter-add folds it into the similarity
+    matrix.  Blocks carry a 1024-position halo of real context on both
+    sides, so block boundaries never split a cluster's band (the reference's
+    chunk-straddle protocol, src/ClusterLCP.cpp:196-264).
+    """
+    from ..ops.pallas_kernels import banded_pair_matrix, pack_stream
+
+    L = m.shape[-1]
+    g_pad = max(128, -(-num_refs // 128) * 128)
+    packed = pack_stream(m, emit_ok, sym)
+    rows_all = jnp.where((doc < num_reads) & emit_ok, doc, num_reads)
+
+    # V block cap ~0.5 GB: (B, G_pad) int8
+    B = block or min(L, max(1 << 20, (1 << 29) // g_pad))
+    if L <= B:
+        v = banded_pair_matrix(packed, doc, window, num_reads, num_refs,
+                               interpret=interpret)
+        return _scatter_sim(v, rows_all, num_reads)[:num_reads, :num_refs]
+
+    halo = 1024
+    n_blocks = -(-L // B)
+    l_pad = n_blocks * B
+    pk_p = jnp.pad(packed, (halo, l_pad - L + halo))
+    dc_p = jnp.pad(doc, (halo, l_pad - L + halo),
+                   constant_values=jnp.int32(-0x7FFFFFFF))
+    # pad rows so the last block's tail scatters into the drop row
+    rows_p = jnp.pad(rows_all, (0, l_pad - L), constant_values=num_reads)
+
+    def body(b, sim):
+        pk_e = lax.dynamic_slice(pk_p, (b * B,), (B + 2 * halo,))
+        dc_e = lax.dynamic_slice(dc_p, (b * B,), (B + 2 * halo,))
+        v_e = banded_pair_matrix(pk_e, dc_e, window, num_reads, num_refs,
+                                 interpret=interpret)
+        v = v_e[halo:halo + B]
+        rows = lax.dynamic_slice(rows_p, (b * B,), (B,))
+        return sim + _scatter_sim(v, rows, num_reads)
+
+    sim = lax.fori_loop(0, n_blocks, body,
+                        jnp.zeros((num_reads + 1, g_pad), jnp.int32))
+    return sim[:num_reads, :num_refs]
 
 
 def banded_fused_step(lcp, da, sym, num_reads: int, num_refs: int,
