@@ -45,6 +45,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.lime_plan.restype = ctypes.c_int64
+            lib.lime_plan.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _failed = True
@@ -73,3 +81,48 @@ def build_index_native(seqs: Sequence[bytes]
     if rc != 0:
         raise RuntimeError(f"lime_build_index failed: {rc}")
     return ebwt, lcp, da
+
+
+def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
+                num_reads: int, alpha: int, sym_lut: np.ndarray,
+                deg_lut: np.ndarray, use_u16: bool
+                ) -> Tuple[np.ndarray, np.ndarray, int,
+                           np.ndarray, np.ndarray]:
+    """One C++ pass: alpha-cluster scan + membership filter + compaction.
+
+    Returns ``(packed, doc, window, bad_start, bad_len)`` where packed/doc
+    are the compacted banded-kernel stream (trimmed to the compact length)
+    and bad_start/bad_len list the clusters routed to the host rescue path.
+    Releases the GIL for the whole pass, so collections plan in parallel
+    from Python threads.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lcp = np.ascontiguousarray(lcp, dtype=np.uint32)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    eb_ptr = 0
+    if ebwt is not None:
+        ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
+        eb_ptr = ebwt.ctypes.data
+    n = len(lcp)
+    packed = np.empty(n, dtype=np.uint8)
+    doc = np.empty(n, dtype=np.uint16 if use_u16 else np.uint32)
+    n_clusters_cap = n // 2 + 1
+    bad_start = np.empty(n_clusters_cap, dtype=np.int64)
+    bad_len = np.empty(n_clusters_cap, dtype=np.int64)
+    meta = np.zeros(3, dtype=np.int64)
+    sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
+    rc = lib.lime_plan(
+        lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
+        sym_lut.ctypes.data, deg_lut.ctypes.data,
+        packed.ctypes.data,
+        doc.ctypes.data if use_u16 else 0,
+        0 if use_u16 else doc.ctypes.data,
+        bad_start.ctypes.data, bad_len.ctypes.data, meta.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f"lime_plan failed: {rc}")
+    nc, window, nbad = int(meta[0]), int(meta[1]), int(meta[2])
+    return (packed[:nc], doc[:nc], window,
+            bad_start[:nbad].copy(), bad_len[:nbad].copy())

@@ -208,4 +208,89 @@ int64_t lime_build_index(const uint8_t* concat, const int64_t* seq_lens,
   return 0;
 }
 
+// Single-pass fused-pipeline planner.
+//
+// Streams the collection index once, detecting alpha-clusters (maximal runs
+// of lcp >= alpha extended one row left — reference src/ClusterLCP.cpp:14-43)
+// and applying the membership filter (>= 1 read and >= 1 genome row,
+// src/ClusterLCP.cpp:220) on the fly.  Kept clusters are compacted into the
+// banded device stream (one packed byte + one doc id per position; a
+// cluster's first row carries run-bit 0 so adjacent clusters never band-match
+// each other).  Clusters the banded kernel cannot express — longer than the
+// 255-occurrence saturation bound or containing an IUPAC-degenerate symbol —
+// are appended to the host-rescue list instead.
+//
+//   lcp/da      — index arrays, n positions
+//   ebwt        — may be null (document-only scoring, reference EBWT=0)
+//   sym_lut     — 256-entry symbol-rank table (low 4 bits used)
+//   deg_lut     — 256-entry IUPAC-degenerate indicator
+//   packed      — compacted stream bytes, capacity n
+//   doc16/doc32 — compacted doc ids; exactly one non-null, capacity n
+//   bad_start/bad_len — rescue cluster list, capacity n/2 + 1
+//   meta        — out: [n_compact, window, n_bad]
+//
+// Returns 0 on success, negative on error.
+int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
+                  int64_t n, int64_t num_reads, uint32_t alpha,
+                  const uint8_t* sym_lut, const uint8_t* deg_lut,
+                  uint8_t* packed, uint16_t* doc16, uint32_t* doc32,
+                  int64_t* bad_start, int64_t* bad_len, int64_t* meta) {
+  if (n <= 0 || (!doc16 && !doc32)) return -1;
+  i64 w = 0, nbad = 0, window = 1;
+  i64 p_start = -1;
+  bool open = false, has_r = false, has_g = false, deg = false;
+
+  auto close = [&](i64 end) {
+    if (has_r && has_g) {
+      i64 len = end - p_start;
+      if (len > 255 || deg) {
+        bad_start[nbad] = p_start;
+        bad_len[nbad] = len;
+        nbad++;
+      } else {
+        if (len > window) window = len;
+        for (i64 j = p_start; j < end; j++) {
+          uint8_t sym = ebwt ? (sym_lut[ebwt[j]] & 15) : 0;
+          packed[w] = sym | static_cast<uint8_t>((j > p_start) ? 0x40 : 0);
+          if (doc16) {
+            doc16[w] = static_cast<uint16_t>(da[j]);
+          } else {
+            doc32[w] = da[j];
+          }
+          w++;
+        }
+      }
+    }
+    open = false;
+  };
+
+  // position 0 can never open a cluster (the reference's skip-leading rule,
+  // src/ClusterLCP.cpp:196-202)
+  for (i64 i = 1; i < n; i++) {
+    if (lcp[i] >= alpha) {
+      if (!open) {
+        open = true;
+        p_start = i - 1;
+        has_r = da[p_start] < static_cast<uint32_t>(num_reads);
+        has_g = !has_r;
+        deg = ebwt && deg_lut[ebwt[p_start]];
+      }
+      if (da[i] < static_cast<uint32_t>(num_reads)) {
+        has_r = true;
+      } else {
+        has_g = true;
+      }
+      if (ebwt && deg_lut[ebwt[i]]) deg = true;
+    } else if (open) {
+      close(i);
+    }
+  }
+  if (open) close(n);
+
+  meta[0] = w;
+  meta[1] = window;
+  meta[2] = nbad;
+  return 0;
+}
+
 }  // extern "C"

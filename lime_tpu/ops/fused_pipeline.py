@@ -36,7 +36,8 @@ from ..formats.arrays import open_da, open_ebwt, open_lcp
 from ..formats.lineage import Lineage
 from ..ops.classify_ops import ClassifyResult
 from ..ops.classify_tpu import cascade_core
-from ..ops.fused_pass import _bad_cluster_mask
+from ..ops.fused_pass import _DEGENERATE_BYTE
+from .. import native
 from ..ops.scoring import score_clusters
 from ..utils.timing import PhaseTimer
 
@@ -94,19 +95,39 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
     def plan(fasta):
         """Host planning for one collection (runs in a worker thread).
 
-        The kernel needs only the run mask, not the filtered cluster list:
-        clusters without both a read and a genome produce zero pairs by
-        construction, so the membership filter (reference
-        src/ClusterLCP.cpp:220) is skipped here and run boundaries come
-        straight from the mask transitions.
+        The device stream is *compacted*: only positions of clusters that
+        contain both a read and a genome symbol (the reference's membership
+        filter, src/ClusterLCP.cpp:220) and that the banded kernel can score
+        exactly survive.  Dropping a whole cluster removes its pairs in one
+        stroke, and empty/one-sided clusters score zero by construction —
+        so compaction shrinks uplink bytes, kernel positions and scatter
+        rows alike (to ~40% of the raw stream on typical workloads) without
+        changing a single emitted pair.  Cluster boundaries in the compact
+        stream are encoded in the run-mask bit itself (a cluster's first
+        row carries m=0), so adjacent clusters never band-match each other.
         """
         lcp = open_lcp(fasta)
         da = open_da(fasta)
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
         n = len(lcp)
-        n_pad = -(-n // _BLOCK) * _BLOCK
 
-        m = lcp >= config.alpha
+        if native.available():
+            packed_c, doc_c, window, bad_start, bad_len = native.plan_native(
+                lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
+                _DEGENERATE_BYTE, use_u16)
+            corr_f = None
+            if len(bad_start):
+                corr_f = score_clusters(
+                    bad_start, bad_len, da, ebwt, num_reads, num_genomes,
+                    config.replace(wide_sim=True)).astype(np.int32)
+            nc = len(packed_c)
+            n_pad = max(_BLOCK, -(-nc // _BLOCK) * _BLOCK)
+            packed = np.pad(packed_c, (0, n_pad - nc))
+            doc = np.pad(doc_c, (0, n_pad - nc),
+                         constant_values=num_reads + num_genomes)
+            return packed, doc, window, corr_f
+
+        m = np.asarray(lcp) >= config.alpha
         m[0] = False
         window = 1
         corr_f = None
@@ -115,28 +136,61 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         run_ends = np.flatnonzero(d == -1) + 1
         if m[-1]:
             run_ends = np.append(run_ends, n)
+
+        gpos = np.empty(0, np.int64)
+        within0 = np.empty(0, bool)
         if len(run_starts):
             p_start = run_starts - 1  # cluster rows = run extended one left
             lens = run_ends - p_start
-            window = int(min(int(lens.max()), 255))
-            ok, bad_idx = _bad_cluster_mask(p_start, lens, ebwt, window,
-                                            config.use_ebwt, n)
-            # whole-cluster masking: clearing m removes the cluster's
-            # pairs and (irrelevant) occ values in one stroke
-            m &= ok
-            if len(bad_idx):
-                corr_f = score_clusters(
-                    p_start[bad_idx], lens[bad_idx], da, ebwt,
-                    num_reads, num_genomes,
-                    config.replace(wide_sim=True)).astype(np.int32)
+            # membership filter via a prefix-sum of the read-side indicator
+            da_arr = np.asarray(da)
+            cr = np.concatenate(
+                [[0], np.cumsum(da_arr < num_reads, dtype=np.int64)])
+            n_read_in = cr[p_start + lens] - cr[p_start]
+            mixed = (n_read_in > 0) & (n_read_in < lens)
+            p_start, lens = p_start[mixed], lens[mixed]
+            if len(p_start):
+                # clusters the banded kernel cannot express: longer than the
+                # 255 saturation bound, or containing IUPAC-degenerate
+                # symbols (the stateful leftover waterfall) — rescored
+                # exactly on host, merged additively into the device matrix
+                bad_c = lens > 255
+                if config.use_ebwt:
+                    deg_pos = np.flatnonzero(
+                        _DEGENERATE_BYTE[np.asarray(ebwt)])
+                    if len(deg_pos):
+                        cidx = np.searchsorted(p_start, deg_pos,
+                                               side="right") - 1
+                        inside = ((cidx >= 0)
+                                  & (deg_pos < p_start[cidx] + lens[cidx]))
+                        bad_c[np.unique(cidx[inside])] = True
+                bad_idx = np.flatnonzero(bad_c)
+                if len(bad_idx):
+                    corr_f = score_clusters(
+                        p_start[bad_idx], lens[bad_idx], da, ebwt,
+                        num_reads, num_genomes,
+                        config.replace(wide_sim=True)).astype(np.int32)
+                keep = ~bad_c
+                p_start, lens = p_start[keep], lens[keep]
+            if len(p_start):
+                window = int(lens.max())
+                total = int(lens.sum())
+                offs = np.concatenate([[0], np.cumsum(lens[:-1])])
+                within = (np.arange(total, dtype=np.int64)
+                          - np.repeat(offs, lens))
+                gpos = np.repeat(p_start, lens) + within
+                within0 = within == 0
 
-        sym = (SYMBOL_RANK_LUT[ebwt] if config.use_ebwt
-               else np.zeros(n, np.uint8))
-        packed = np.pad(sym | (m.astype(np.uint8) << _M_BIT), (0, n_pad - n))
+        nc = len(gpos)
+        n_pad = max(_BLOCK, -(-nc // _BLOCK) * _BLOCK)
+        sym_c = (SYMBOL_RANK_LUT[np.asarray(ebwt[gpos])] if config.use_ebwt
+                 else np.zeros(nc, np.uint8))
+        mbit = np.logical_not(within0).astype(np.uint8) << _M_BIT
+        packed = np.pad(sym_c | mbit, (0, n_pad - nc))
         # pad doc with an out-of-range id: never a read, never a genome
-        doc = np.pad(da.astype(np.uint16 if use_u16 else np.int32),
-                     (0, n_pad - n),
-                     constant_values=num_reads + num_genomes)
+        doc = np.pad(np.asarray(da[gpos]).astype(
+            np.uint16 if use_u16 else np.int32), (0, n_pad - nc),
+            constant_values=num_reads + num_genomes)
         return packed, doc, window, corr_f
 
     with timer.phase("score"):

@@ -158,12 +158,14 @@ def score_clusters(p_start: np.ndarray, lens: np.ndarray, da: np.ndarray,
 
     cid, gpos = _expand_positions(np.asarray(p_start, np.int64),
                                   np.asarray(lens, np.int64))
-    doc = np.asarray(da, np.int64)[gpos]
+    # gather-first keeps memmapped inputs lazy: only the clusters' pages are
+    # touched and converted, not the whole array
+    doc = np.asarray(da[gpos], np.int64)
     sym = None
     if config.use_ebwt:
         if ebwt is None:
             raise ValueError("use_ebwt=True requires the .ebwt array")
-        sym = SYMBOL_RANK_LUT[np.asarray(ebwt)[gpos]].astype(np.int64)
+        sym = SYMBOL_RANK_LUT[np.asarray(ebwt[gpos])].astype(np.int64)
 
     seg_cid, seg_doc, seg_count, seg_hist = _segment_stats(cid, doc, sym)
     is_read_seg = seg_doc < num_reads
