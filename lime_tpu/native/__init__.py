@@ -53,6 +53,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.lime_format_csv.restype = ctypes.c_int64
+            lib.lime_format_csv.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _failed = True
@@ -85,16 +90,18 @@ def build_index_native(seqs: Sequence[bytes]
 
 def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
                 num_reads: int, alpha: int, sym_lut: np.ndarray,
-                deg_lut: np.ndarray, use_u16: bool
-                ) -> Tuple[np.ndarray, np.ndarray, int,
+                deg_lut: np.ndarray, use_u16: bool,
+                pad_block: int = 1, pad_doc: int = 0,
+                ) -> Tuple[np.ndarray, np.ndarray, int, int,
                            np.ndarray, np.ndarray]:
     """One C++ pass: alpha-cluster scan + membership filter + compaction.
 
-    Returns ``(packed, doc, window, bad_start, bad_len)`` where packed/doc
-    are the compacted banded-kernel stream (trimmed to the compact length)
-    and bad_start/bad_len list the clusters routed to the host rescue path.
-    Releases the GIL for the whole pass, so collections plan in parallel
-    from Python threads.
+    Returns ``(packed, doc, n_compact, window, bad_start, bad_len)`` where
+    packed/doc are the compacted banded-kernel stream padded to the next
+    ``pad_block`` multiple (doc padding = ``pad_doc``, written at allocation
+    so no post-pass pad copy is needed) and bad_start/bad_len list the
+    clusters routed to the host rescue path.  Releases the GIL for the
+    whole pass, so collections plan in parallel from Python threads.
     """
     lib = _load()
     if lib is None:
@@ -106,8 +113,9 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
         ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
         eb_ptr = ebwt.ctypes.data
     n = len(lcp)
-    packed = np.empty(n, dtype=np.uint8)
-    doc = np.empty(n, dtype=np.uint16 if use_u16 else np.uint32)
+    cap = max(pad_block, -(-n // pad_block) * pad_block)
+    packed = np.zeros(cap, dtype=np.uint8)
+    doc = np.full(cap, pad_doc, dtype=np.uint16 if use_u16 else np.uint32)
     n_clusters_cap = n // 2 + 1
     bad_start = np.empty(n_clusters_cap, dtype=np.int64)
     bad_len = np.empty(n_clusters_cap, dtype=np.int64)
@@ -124,5 +132,24 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
     if rc != 0:
         raise RuntimeError(f"lime_plan failed: {rc}")
     nc, window, nbad = int(meta[0]), int(meta[1]), int(meta[2])
-    return (packed[:nc], doc[:nc], window,
+    n_pad = max(pad_block, -(-nc // pad_block) * pad_block)
+    # the prefix past nc was never written by the pass: packed stays zero
+    # and doc stays pad_doc, i.e. the pad is already in place
+    return (packed[:n_pad], doc[:n_pad], nc, window,
             bad_start[:nbad].copy(), bad_len[:nbad].copy())
+
+
+def format_csv(types: np.ndarray, taxid: np.ndarray, sim: np.ndarray,
+               base: int) -> bytes:
+    """Assignment CSV rows via the C formatter (src/Classify.cpp:722-731)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    types = np.ascontiguousarray(types, dtype=np.uint8)
+    taxid = np.ascontiguousarray(taxid, dtype=np.uint32)
+    sim = np.ascontiguousarray(sim, dtype=np.float32)
+    n = len(types)
+    buf = ctypes.create_string_buffer(64 * n + 64)
+    ln = lib.lime_format_csv(types.ctypes.data, taxid.ctypes.data,
+                             sim.ctypes.data, n, base, buf)
+    return buf.raw[:ln]

@@ -10,6 +10,7 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -291,6 +292,33 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
   meta[1] = window;
   meta[2] = nbad;
   return 0;
+}
+
+// Format the final assignment CSV block (reference src/Classify.cpp:722-731).
+//
+//   types — 0=U 1=C 2=A 3=H per read; taxid/sim only read for C/H rows
+//   base  — id of the first read in the block
+//   buf   — caller-allocated, >= 64 bytes per row
+//
+// Returns the number of bytes written.  "%g" matches the reference's
+// default-precision ostream<<float (6 significant digits).
+int64_t lime_format_csv(const uint8_t* types, const uint32_t* taxid,
+                        const float* sim, int64_t n, int64_t base,
+                        char* buf) {
+  static const char kType[4] = {'U', 'C', 'A', 'H'};
+  char* p = buf;
+  for (i64 i = 0; i < n; i++) {
+    uint8_t t = types[i];
+    if (t == 0 || t == 2) {
+      p += std::sprintf(p, "%c,%lld,NA,0\n", kType[t],
+                        static_cast<long long>(base + i));
+    } else {
+      p += std::sprintf(p, "%c,%lld,%u,%g\n", kType[t],
+                        static_cast<long long>(base + i), taxid[i],
+                        static_cast<double>(sim[i]));
+    }
+  }
+  return p - buf;
 }
 
 }  // extern "C"

@@ -112,20 +112,16 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         n = len(lcp)
 
         if native.available():
-            packed_c, doc_c, window, bad_start, bad_len = native.plan_native(
+            packed, doc, _nc, window, bad_start, bad_len = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
-                _DEGENERATE_BYTE, use_u16)
-            corr_f = None
+                _DEGENERATE_BYTE, use_u16, pad_block=_BLOCK,
+                pad_doc=num_reads + num_genomes)
+            rescue = None
             if len(bad_start):
-                corr_f = score_clusters(
+                rescue = lambda: score_clusters(  # noqa: E731
                     bad_start, bad_len, da, ebwt, num_reads, num_genomes,
                     config.replace(wide_sim=True)).astype(np.int32)
-            nc = len(packed_c)
-            n_pad = max(_BLOCK, -(-nc // _BLOCK) * _BLOCK)
-            packed = np.pad(packed_c, (0, n_pad - nc))
-            doc = np.pad(doc_c, (0, n_pad - nc),
-                         constant_values=num_reads + num_genomes)
-            return packed, doc, window, corr_f
+            return packed, doc, window, rescue
 
         m = np.asarray(lcp) >= config.alpha
         m[0] = False
@@ -166,9 +162,9 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
                         bad_c[np.unique(cidx[inside])] = True
                 bad_idx = np.flatnonzero(bad_c)
                 if len(bad_idx):
-                    corr_f = score_clusters(
-                        p_start[bad_idx], lens[bad_idx], da, ebwt,
-                        num_reads, num_genomes,
+                    bs, bl = p_start[bad_idx], lens[bad_idx]
+                    corr_f = lambda: score_clusters(  # noqa: E731
+                        bs, bl, da, ebwt, num_reads, num_genomes,
                         config.replace(wide_sim=True)).astype(np.int32)
                 keep = ~bad_c
                 p_start, lens = p_start[keep], lens[keep]
@@ -193,21 +189,27 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
             constant_values=num_reads + num_genomes)
         return packed, doc, window, corr_f
 
+    def plan_and_dispatch(fasta):
+        """Plan + upload + async device dispatch, all in the worker thread —
+        each collection's upload and kernel overlap the others' planning,
+        and its own host rescue scoring overlaps its device compute."""
+        packed, doc, window, rescue = plan(fasta)
+        sim_dev = _score_program(jax.device_put(packed), jax.device_put(doc),
+                                 jnp.int32(window), num_reads, num_genomes)
+        return sim_dev, rescue() if rescue is not None else None
+
     with timer.phase("score"):
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(F, 4)) as pool:
-            futures = [pool.submit(plan, c) for c in collections]
+            futures = [pool.submit(plan_and_dispatch, c)
+                       for c in collections]
             for fi, fut in enumerate(futures):
-                packed, doc, window, corr_f = fut.result()
+                sim_dev, corr_f = fut.result()
                 if corr_f is not None:
                     has_corr = True
                     corr[fi] += corr_f
-                # async dispatch: later collections' planning overlaps this
-                # one's upload + device compute
-                sims_dev.append(_score_program(
-                    jax.device_put(packed), jax.device_put(doc),
-                    jnp.int32(window), num_reads, num_genomes))
+                sims_dev.append(sim_dev)
 
     with timer.phase("classify"):
         tax = lineage.at_rank(config.tax_rank).astype(np.uint32)

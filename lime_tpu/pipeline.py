@@ -224,6 +224,14 @@ def _run_fused(collections, output_path, num_reads, num_genomes,
 
 def _write_csv_block(out, base: int, res) -> None:
     """Emit CSV rows matching the reference's output (src/Classify.cpp:722-731)."""
+    from . import native
+
+    if native.available():
+        out.flush()
+        out.buffer.write(native.format_csv(
+            np.asarray(res.types), np.asarray(res.taxid),
+            np.asarray(res.sim), base))
+        return
     lines: List[str] = []
     for i, t in enumerate(res.types):
         rid = base + i
