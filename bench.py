@@ -135,7 +135,8 @@ def main() -> None:
     with open(os.path.join(DATA_DIR, "bench_ref.csv")) as f:
         ref = f.read()
     if ours != ref:
-        _log("bench: WARNING — output mismatch vs reference!")
+        _log("bench: FATAL — output mismatch vs reference!")
+        sys.exit(1)
 
     value = ds.num_reads / ours_t
     print(json.dumps({

@@ -6,18 +6,31 @@ one device program per collection, dispatched asynchronously so the host
 planning of collection i+1 and the upload of its packed stream overlap the
 device compute of collection i; a final program fuses counter wrap,
 normalization, beta gating and the 4-stage classify cascade.  A run costs
-3 bytes/position of upload and a per-read-sized download.
+3-5 bytes/position of upload and a per-read-sized download.
 
-Host-side planning per collection (cheap, vectorized numpy):
+Memory plan (paper-scale: 10^7 reads x 10^3 genomes):
 
-- boundary scan -> cluster list (the step-1 artifact, reused for routing);
+- each collection's score matrix accumulates on device as ``(R_pad, G_pad)``
+  int8 — R x G *bytes*, the same footprint as the reference's dense uchar
+  SimArray (src/ClusterBWT_DA.cpp:606-611); int8 wraparound IS the
+  reference's unsaturated uchar counter semantics (ClusterBWT_DA.cpp:183).
+  ``wide_sim`` (reads > 255bp) switches to int32.
+- host-rescued clusters (IUPAC-degenerate / longer than 255) produce a
+  *sparse* COO correction — never a dense (F, R, G) buffer — scatter-added
+  into the device matrices inside the classify program.
+- the classify program walks read blocks: normalization, beta gating and
+  the 4-stage cascade touch one (block, F, G_pad) float32 tile at a time,
+  and only the per-read (type, taxid, sim) triplet ever comes home.
+
+Host-side planning per collection (native C++ single pass, released GIL):
+
+- boundary scan -> alpha-clusters with the membership filter applied
+  on the fly (reference src/ClusterLCP.cpp:220);
 - clusters the banded kernel cannot express (IUPAC-degenerate or longer
-  than 255) are cleared from the run mask and rescored exactly on host;
-  their scores enter the device program as an additive correction, which
-  commutes with the mod-256 counter wrap;
-- the run mask and symbol ranks pack into one byte per position
-  (bit 6 = in-run, bits 0..3 = symbol rank); document ids ship as u16
-  when the collection has < 65535 documents.
+  than 255) are routed to the exact host scorer; everything else is
+  compacted into the device stream (one packed byte + one doc id per
+  position; a cluster's first row carries run-bit 0 so adjacent clusters
+  never band-match each other).
 """
 
 from __future__ import annotations
@@ -29,6 +42,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import LimeConfig
 from ..constants import SYMBOL_RANK_LUT
@@ -38,44 +52,122 @@ from ..ops.classify_ops import ClassifyResult
 from ..ops.classify_tpu import cascade_core
 from ..ops.fused_pass import _DEGENERATE_BYTE
 from .. import native
-from ..ops.scoring import score_clusters
+from ..ops.scoring import _expand_positions, score_clusters
 from ..utils.timing import PhaseTimer
 
 _BLOCK = 1 << 20
 _M_BIT = 6
 
 
-@functools.partial(jax.jit, static_argnames=("num_reads", "num_refs"))
-def _score_program(packed, doc, window, num_reads: int, num_refs: int):
+def _g_pad_for(num_refs: int) -> int:
+    return max(128, -(-num_refs // 128) * 128)
+
+
+def _classify_block_for(num_reads: int) -> int:
+    """Read-block size for the blockwise cascade (static per num_reads)."""
+    want = 1 << 14
+    if num_reads + 1 >= want:
+        return want
+    b = 256
+    while b < num_reads + 1:
+        b <<= 1
+    return b
+
+
+def _r_pad_for(num_reads: int) -> int:
+    block = _classify_block_for(num_reads)
+    return -(-(num_reads + 1) // block) * block
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_reads", "num_refs", "out_rows", "wide"))
+def _score_program(packed, doc, window, num_reads: int, num_refs: int,
+                   out_rows: int, wide: bool):
     from ..parallel.sharded import banded_partial_sim
 
     m = ((packed >> _M_BIT) & 1).astype(bool)
     sym = (packed & 15).astype(jnp.int8)
     return banded_partial_sim(m, doc.astype(jnp.int32), sym,
-                              num_reads, num_refs, window)
+                              num_reads, num_refs, window,
+                              out_rows=out_rows,
+                              acc_dtype=jnp.int32 if wide else jnp.int8)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_files", "tax_rank", "assign_higher", "sim_modulus",
-                     "has_corr"))
-def _classify_program(sims, corr, tax, rank_matrix, valid_t, error, norm,
-                      beta, num_files: int, tax_rank: int,
-                      assign_higher: bool, sim_modulus: int | None,
-                      has_corr: bool):
-    sims = jnp.stack(sims)  # (F, R, G) i32
-    if has_corr:
-        sims = sims + corr
-    if sim_modulus:
-        sims = sims % sim_modulus
-    norm_rows = sims.astype(jnp.float32) / norm
-    rowmax = jnp.max(norm_rows, axis=2)  # (F, R)
-    qualify = rowmax > beta
-    dense = jnp.transpose(
-        jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
-    maxs = jnp.where(qualify, rowmax, 0.0).T
-    return cascade_core(dense, maxs, tax, rank_matrix, valid_t, error,
-                        num_files, tax_rank, assign_higher)
+    static_argnames=("num_files", "tax_rank", "assign_higher", "is_mod",
+                     "block"),
+    donate_argnums=(0,))
+def _classify_program(sims, crows, ccols, cvals, cfile, tax, rank_matrix,
+                      valid_t, error, norm, beta, num_files: int,
+                      tax_rank: int, assign_higher: bool, is_mod: bool,
+                      block: int):
+    """Blockwise wrap + normalize + beta-gate + cascade over (F, R_pad, G_pad).
+
+    ``sims`` is donated: the sparse correction scatter happens in place.
+    Rows past the real read count are junk (the scatter drop row and pad)
+    and are discarded by the caller; genome lanes past the real count are
+    masked by ``valid_t``.
+    """
+    F, r_pad, g_pad = sims.shape
+    if crows.shape[0]:
+        # int8 add wraps mod 256 = the reference's uchar accumulate, so the
+        # correction values enter pre-wrapped
+        sims = sims.at[cfile, crows, ccols].add(
+            cvals.astype(sims.dtype), mode="drop")
+
+    n_blocks = r_pad // block
+    types0 = jnp.zeros(r_pad, jnp.int8)
+    tax0 = jnp.zeros(r_pad, jnp.uint32)
+    sim0 = jnp.zeros(r_pad, jnp.float32)
+
+    def body(b, carry):
+        ty, tx, sv = carry
+        blk = lax.dynamic_slice(sims, (0, b * block, 0), (F, block, g_pad))
+        x = (blk.astype(jnp.uint8) if is_mod else blk).astype(jnp.float32)
+        norm_rows = x / norm
+        rowmax = jnp.max(norm_rows, axis=2)  # (F, block)
+        qualify = rowmax > beta
+        dense = jnp.transpose(
+            jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
+        maxs = jnp.where(qualify, rowmax, 0.0).T
+        t, x_, s = cascade_core(dense, maxs, tax, rank_matrix, valid_t,
+                                error, num_files, tax_rank, assign_higher)
+        return (lax.dynamic_update_slice(ty, t, (b * block,)),
+                lax.dynamic_update_slice(tx, x_, (b * block,)),
+                lax.dynamic_update_slice(sv, s, (b * block,)))
+
+    return lax.fori_loop(0, n_blocks, body, (types0, tax0, sim0))
+
+
+def _rescue_sparse(bad_start, bad_len, da, ebwt, num_reads: int,
+                   num_genomes: int, config: LimeConfig):
+    """Exact host scores for rescued clusters, as COO (rows, cols, vals).
+
+    Rescued clusters touch few documents, so the exact scorer runs on a
+    remapped compact collection (unique documents only) and the nonzeros
+    map back to global (read, genome) coordinates — no (R, G) buffer.
+    """
+    cid, gpos = _expand_positions(np.asarray(bad_start, np.int64),
+                                  np.asarray(bad_len, np.int64))
+    docs = np.asarray(da[gpos]).astype(np.int64)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    n_r = int((uniq < num_reads).sum())
+    # documents keep their relative order, so remapped ids preserve the
+    # read-block-then-genome-block convention the scorer relies on
+    da_small = inv.astype(np.uint32)
+    eb_small = None if ebwt is None else np.asarray(ebwt[gpos])
+    offs = np.concatenate([[0], np.cumsum(np.asarray(bad_len, np.int64))])
+    dense = score_clusters(offs[:-1], np.asarray(bad_len, np.int64),
+                           da_small, eb_small, n_r, len(uniq) - n_r,
+                           config.replace(wide_sim=True))
+    r_i, g_i = np.nonzero(dense)
+    rows = uniq[r_i].astype(np.int32)
+    cols = (uniq[n_r + g_i] - num_reads).astype(np.int32)
+    vals = dense[r_i, g_i].astype(np.int64)
+    if config.sim_modulus:
+        vals = vals % config.sim_modulus
+    return rows, cols, vals.astype(np.int32)
 
 
 def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
@@ -88,9 +180,11 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         raise ValueError("fused pipeline takes 2 or 4 collections")
 
     use_u16 = (num_reads + num_genomes) < 0xFFFF
-    corr = np.zeros((F, num_reads, num_genomes), dtype=np.int32)
-    has_corr = False
+    r_pad = _r_pad_for(num_reads)
+    block = _classify_block_for(num_reads)
+    wide = bool(config.wide_sim)
     sims_dev = []
+    corr = []  # (file, rows, cols, vals) per rescued collection
 
     def plan(fasta):
         """Host planning for one collection (runs in a worker thread).
@@ -109,85 +203,20 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         lcp = open_lcp(fasta)
         da = open_da(fasta)
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
-        n = len(lcp)
 
         if native.available():
             packed, doc, _nc, window, bad_start, bad_len = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16, pad_block=_BLOCK,
                 pad_doc=num_reads + num_genomes)
-            rescue = None
-            if len(bad_start):
-                rescue = lambda: score_clusters(  # noqa: E731
-                    bad_start, bad_len, da, ebwt, num_reads, num_genomes,
-                    config.replace(wide_sim=True)).astype(np.int32)
-            return packed, doc, window, rescue
-
-        m = np.asarray(lcp) >= config.alpha
-        m[0] = False
-        window = 1
-        corr_f = None
-        d = np.diff(m.view(np.int8))
-        run_starts = np.flatnonzero(d == 1) + 1
-        run_ends = np.flatnonzero(d == -1) + 1
-        if m[-1]:
-            run_ends = np.append(run_ends, n)
-
-        gpos = np.empty(0, np.int64)
-        within0 = np.empty(0, bool)
-        if len(run_starts):
-            p_start = run_starts - 1  # cluster rows = run extended one left
-            lens = run_ends - p_start
-            # membership filter via a prefix-sum of the read-side indicator
-            da_arr = np.asarray(da)
-            cr = np.concatenate(
-                [[0], np.cumsum(da_arr < num_reads, dtype=np.int64)])
-            n_read_in = cr[p_start + lens] - cr[p_start]
-            mixed = (n_read_in > 0) & (n_read_in < lens)
-            p_start, lens = p_start[mixed], lens[mixed]
-            if len(p_start):
-                # clusters the banded kernel cannot express: longer than the
-                # 255 saturation bound, or containing IUPAC-degenerate
-                # symbols (the stateful leftover waterfall) — rescored
-                # exactly on host, merged additively into the device matrix
-                bad_c = lens > 255
-                if config.use_ebwt:
-                    deg_pos = np.flatnonzero(
-                        _DEGENERATE_BYTE[np.asarray(ebwt)])
-                    if len(deg_pos):
-                        cidx = np.searchsorted(p_start, deg_pos,
-                                               side="right") - 1
-                        inside = ((cidx >= 0)
-                                  & (deg_pos < p_start[cidx] + lens[cidx]))
-                        bad_c[np.unique(cidx[inside])] = True
-                bad_idx = np.flatnonzero(bad_c)
-                if len(bad_idx):
-                    bs, bl = p_start[bad_idx], lens[bad_idx]
-                    corr_f = lambda: score_clusters(  # noqa: E731
-                        bs, bl, da, ebwt, num_reads, num_genomes,
-                        config.replace(wide_sim=True)).astype(np.int32)
-                keep = ~bad_c
-                p_start, lens = p_start[keep], lens[keep]
-            if len(p_start):
-                window = int(lens.max())
-                total = int(lens.sum())
-                offs = np.concatenate([[0], np.cumsum(lens[:-1])])
-                within = (np.arange(total, dtype=np.int64)
-                          - np.repeat(offs, lens))
-                gpos = np.repeat(p_start, lens) + within
-                within0 = within == 0
-
-        nc = len(gpos)
-        n_pad = max(_BLOCK, -(-nc // _BLOCK) * _BLOCK)
-        sym_c = (SYMBOL_RANK_LUT[np.asarray(ebwt[gpos])] if config.use_ebwt
-                 else np.zeros(nc, np.uint8))
-        mbit = np.logical_not(within0).astype(np.uint8) << _M_BIT
-        packed = np.pad(sym_c | mbit, (0, n_pad - nc))
-        # pad doc with an out-of-range id: never a read, never a genome
-        doc = np.pad(np.asarray(da[gpos]).astype(
-            np.uint16 if use_u16 else np.int32), (0, n_pad - nc),
-            constant_values=num_reads + num_genomes)
-        return packed, doc, window, corr_f
+        else:
+            packed, doc, window, bad_start, bad_len = _plan_python(
+                lcp, da, ebwt, num_reads, num_genomes, config, use_u16)
+        rescue = None
+        if len(bad_start):
+            rescue = lambda: _rescue_sparse(  # noqa: E731
+                bad_start, bad_len, da, ebwt, num_reads, num_genomes, config)
+        return packed, doc, window, rescue
 
     def plan_and_dispatch(fasta):
         """Plan + upload + async device dispatch, all in the worker thread —
@@ -195,7 +224,8 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         and its own host rescue scoring overlaps its device compute."""
         packed, doc, window, rescue = plan(fasta)
         sim_dev = _score_program(jax.device_put(packed), jax.device_put(doc),
-                                 jnp.int32(window), num_reads, num_genomes)
+                                 jnp.int32(window), num_reads, num_genomes,
+                                 r_pad, wide)
         return sim_dev, rescue() if rescue is not None else None
 
     with timer.phase("score"):
@@ -205,25 +235,118 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
             futures = [pool.submit(plan_and_dispatch, c)
                        for c in collections]
             for fi, fut in enumerate(futures):
-                sim_dev, corr_f = fut.result()
-                if corr_f is not None:
-                    has_corr = True
-                    corr[fi] += corr_f
+                sim_dev, coo = fut.result()
+                if coo is not None and len(coo[0]):
+                    corr.append((fi, *coo))
                 sims_dev.append(sim_dev)
 
     with timer.phase("classify"):
-        tax = lineage.at_rank(config.tax_rank).astype(np.uint32)
-        rank_matrix = lineage.taxids.astype(np.uint32)
+        g_pad = _g_pad_for(num_genomes)
+        tax = np.zeros(g_pad, np.uint32)
+        tax[:num_genomes] = lineage.at_rank(config.tax_rank)
+        rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+        rank_matrix[:, :num_genomes] = lineage.taxids
+        valid_t = np.arange(g_pad) < num_genomes
         norm = jnp.float32(np.uint32(read_len + 1 - config.alpha))
-        if not has_corr:  # don't ship an all-zero (F, R, G) tensor
-            corr = np.zeros((F, 1, 1), dtype=np.int32)
+
+        if corr:
+            cfile = np.concatenate(
+                [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
+            crows = np.concatenate([r for _, r, _, _ in corr])
+            ccols = np.concatenate([c for _, _, c, _ in corr])
+            cvals = np.concatenate([v for _, _, _, v in corr])
+            # bucket-pad to limit recompiles; padded entries carry an
+            # out-of-range file index and scatter in 'drop' mode
+            k = max(256, 1 << int(np.ceil(np.log2(len(cfile)))))
+            pad = k - len(cfile)
+            cfile = np.pad(cfile, (0, pad), constant_values=F)
+            crows = np.pad(crows, (0, pad))
+            ccols = np.pad(ccols, (0, pad))
+            cvals = np.pad(cvals, (0, pad))
+        else:
+            cfile = np.empty(0, np.int32)
+            crows = ccols = np.empty(0, np.int32)
+            cvals = np.empty(0, np.int32)
+
         types, taxid, sim = _classify_program(
-            tuple(sims_dev), jnp.asarray(corr), jnp.asarray(tax),
-            jnp.asarray(rank_matrix), jnp.asarray(np.ones(num_genomes, bool)),
+            jnp.stack(sims_dev), jnp.asarray(crows), jnp.asarray(ccols),
+            jnp.asarray(cvals), jnp.asarray(cfile), jnp.asarray(tax),
+            jnp.asarray(rank_matrix), jnp.asarray(valid_t),
             jnp.float32(config.error_tolerance), norm,
             jnp.float32(config.beta), F, config.tax_rank,
-            config.assign_higher, config.sim_modulus, has_corr)
-        result = ClassifyResult(np.asarray(types), np.asarray(taxid),
-                                np.asarray(sim))
+            config.assign_higher, not wide, block)
+        result = ClassifyResult(np.asarray(types)[:num_reads],
+                                np.asarray(taxid)[:num_reads],
+                                np.asarray(sim)[:num_reads])
     timer.report()
     return result
+
+
+def _plan_python(lcp, da, ebwt, num_reads: int, num_genomes: int,
+                 config: LimeConfig, use_u16: bool):
+    """Vectorized numpy fallback planner (native C++ pass unavailable)."""
+    n = len(lcp)
+    m = np.asarray(lcp) >= config.alpha
+    m[0] = False
+    window = 1
+    bad_start = np.empty(0, np.int64)
+    bad_len = np.empty(0, np.int64)
+    d = np.diff(m.view(np.int8))
+    run_starts = np.flatnonzero(d == 1) + 1
+    run_ends = np.flatnonzero(d == -1) + 1
+    if m[-1]:
+        run_ends = np.append(run_ends, n)
+
+    gpos = np.empty(0, np.int64)
+    within0 = np.empty(0, bool)
+    if len(run_starts):
+        p_start = run_starts - 1  # cluster rows = run extended one left
+        lens = run_ends - p_start
+        # membership filter via a prefix-sum of the read-side indicator
+        da_arr = np.asarray(da)
+        cr = np.concatenate(
+            [[0], np.cumsum(da_arr < num_reads, dtype=np.int64)])
+        n_read_in = cr[p_start + lens] - cr[p_start]
+        mixed = (n_read_in > 0) & (n_read_in < lens)
+        p_start, lens = p_start[mixed], lens[mixed]
+        if len(p_start):
+            # clusters the banded kernel cannot express: longer than the
+            # 255 saturation bound, or containing IUPAC-degenerate
+            # symbols (the stateful leftover waterfall) — routed to the
+            # exact host rescue path
+            bad_c = lens > 255
+            if config.use_ebwt:
+                deg_pos = np.flatnonzero(
+                    _DEGENERATE_BYTE[np.asarray(ebwt)])
+                if len(deg_pos):
+                    cidx = np.searchsorted(p_start, deg_pos,
+                                           side="right") - 1
+                    inside = ((cidx >= 0)
+                              & (deg_pos < p_start[cidx] + lens[cidx]))
+                    bad_c[np.unique(cidx[inside])] = True
+            bad_idx = np.flatnonzero(bad_c)
+            if len(bad_idx):
+                bad_start = p_start[bad_idx]
+                bad_len = lens[bad_idx]
+            keep = ~bad_c
+            p_start, lens = p_start[keep], lens[keep]
+        if len(p_start):
+            window = int(lens.max())
+            total = int(lens.sum())
+            offs = np.concatenate([[0], np.cumsum(lens[:-1])])
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(offs, lens))
+            gpos = np.repeat(p_start, lens) + within
+            within0 = within == 0
+
+    nc = len(gpos)
+    n_pad = max(_BLOCK, -(-nc // _BLOCK) * _BLOCK)
+    sym_c = (SYMBOL_RANK_LUT[np.asarray(ebwt[gpos])] if config.use_ebwt
+             else np.zeros(nc, np.uint8))
+    mbit = np.logical_not(within0).astype(np.uint8) << _M_BIT
+    packed = np.pad(sym_c | mbit, (0, n_pad - nc))
+    # pad doc with an out-of-range id: never a read, never a genome
+    doc = np.pad(np.asarray(da[gpos]).astype(
+        np.uint16 if use_u16 else np.int32), (0, n_pad - nc),
+        constant_values=num_reads + num_genomes)
+    return packed, doc, window, bad_start, bad_len

@@ -68,8 +68,9 @@ def _pad2(x, fill=0):
 
 def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
                        window, emit_ok: Optional[jnp.ndarray] = None,
-                       impl: str = "auto") -> jnp.ndarray:
-    """Partial (num_reads, num_refs) i32 similarity from one stream.
+                       impl: str = "auto", out_rows: Optional[int] = None,
+                       acc_dtype=jnp.int32) -> jnp.ndarray:
+    """Partial similarity matrix from one position stream.
 
     - ``m``: the in-run indicator lcp >= alpha, with position 0 forced False
       (the reference's skip-leading rule, src/ClusterLCP.cpp:196-202).
@@ -79,6 +80,15 @@ def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
     - ``emit_ok``: positions allowed to *emit* pairs.  Every scored pair has
       exactly one read-side element, and that element emits it — so shard
       ownership and cluster routing gate read positions only.
+    - ``out_rows``: when None (legacy), returns ``(num_reads, num_refs)``
+      sliced exact; otherwise returns the raw padded accumulator
+      ``(out_rows, g_pad)`` with the scatter drop row at index
+      ``num_reads`` (rows past it stay zero) — the memory-plan shape for
+      paper-scale runs, where the caller classifies blockwise and never
+      materializes a sliced copy.
+    - ``acc_dtype``: accumulator dtype.  ``int8`` wraps mod 256 on overflow,
+      which IS the reference's unsaturated uchar SimArray semantics
+      (src/ClusterBWT_DA.cpp:183) — at 1/4 the HBM of int32.
 
     Scatter-add is the expensive op on TPU (~50M rows/s), so the kernel
     performs exactly one: each read position accumulates a per-genome count
@@ -96,7 +106,12 @@ def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _pallas_partial_sim(m, doc, sym, num_reads, num_refs, window,
-                                   emit_ok)
+                                   emit_ok, out_rows=out_rows,
+                                   acc_dtype=acc_dtype)
+
+    g_pad = (max(128, -(-num_refs // 128) * 128) if out_rows is not None
+             else num_refs)
+    n_rows = out_rows if out_rows is not None else num_reads + 1
 
     pad_m = _pad2(m)
     pad_doc = _pad2(doc, -1)
@@ -114,7 +129,7 @@ def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
     pad_occ = _pad2(occ, -1)
 
     is_read = doc < num_reads
-    g_ids = jnp.arange(num_refs, dtype=jnp.int32)[None, :]
+    g_ids = jnp.arange(g_pad, dtype=jnp.int32)[None, :]
 
     def pair_step(o, carry):
         and_c, V = carry
@@ -136,37 +151,37 @@ def banded_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
         return and_c, V
 
     _, V = lax.fori_loop(1, window + 1, pair_step,
-                         (m, jnp.zeros((L, num_refs), jnp.int16)))
+                         (m, jnp.zeros((L, g_pad), jnp.int16)))
 
     emit = is_read & emit_ok
     rows = jnp.where(emit, doc, num_reads)  # padded drop row
-    Vm = jnp.where(emit[:, None], V, 0).astype(jnp.int32)
-    # split into independent partial scatters — measurably faster than one
-    # monolithic scatter-add on this hardware
-    k = 8
-    chunk = -(-L // k)
-    sim = jnp.zeros((num_reads + 1, num_refs), jnp.int32)
-    parts = [
-        jnp.zeros((num_reads + 1, num_refs), jnp.int32)
-        .at[rows[i * chunk:(i + 1) * chunk], :]
-        .add(Vm[i * chunk:(i + 1) * chunk])
-        for i in range(k)
-    ]
-    for p in parts:
-        sim = sim + p
-    return sim[:num_reads]
+    Vm = jnp.where(emit[:, None], V, 0)
+    sim = _scatter_sim(Vm, rows, num_reads, n_rows=n_rows,
+                       acc_dtype=acc_dtype)
+    if out_rows is not None:
+        return sim
+    return sim[:num_reads, :num_refs]
 
 
-def _scatter_sim(v, rows, num_reads: int, k: int = 8) -> jnp.ndarray:
-    """Segment-sum V rows by read id: one (R+1, G) i32 scatter, k-way split
-    (independent partial scatters pipeline better on this hardware)."""
+def _scatter_sim(v, rows, num_reads: int, n_rows: Optional[int] = None,
+                 acc_dtype=jnp.int32) -> jnp.ndarray:
+    """Segment-sum V rows by read id into a (n_rows, G) accumulator.
+
+    Split into independent partial scatters when the accumulator is small —
+    they pipeline measurably better on this hardware — but fall back to one
+    scatter when k copies of the matrix would cost real HBM (the paper-scale
+    regime, where the accumulator is the dominant allocation).
+    """
     L, g_pad = v.shape
+    if n_rows is None:
+        n_rows = num_reads + 1
+    k = 8 if n_rows * g_pad <= (1 << 24) else 1
     chunk = -(-L // k)
-    sim = jnp.zeros((num_reads + 1, g_pad), jnp.int32)
+    sim = jnp.zeros((n_rows, g_pad), acc_dtype)
     parts = [
-        jnp.zeros((num_reads + 1, g_pad), jnp.int32)
+        jnp.zeros((n_rows, g_pad), acc_dtype)
         .at[rows[i * chunk:(i + 1) * chunk], :]
-        .add(v[i * chunk:(i + 1) * chunk].astype(jnp.int32))
+        .add(v[i * chunk:(i + 1) * chunk].astype(acc_dtype))
         for i in range(k)
     ]
     for p in parts:
@@ -176,7 +191,9 @@ def _scatter_sim(v, rows, num_reads: int, k: int = 8) -> jnp.ndarray:
 
 def _pallas_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
                         window, emit_ok, block: Optional[int] = None,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        out_rows: Optional[int] = None,
+                        acc_dtype=jnp.int32) -> jnp.ndarray:
     """Partial similarity via the Pallas banded kernel (ops/pallas_kernels).
 
     Streams the position axis in HBM-bounded blocks: per block, the kernel
@@ -190,15 +207,22 @@ def _pallas_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
 
     L = m.shape[-1]
     g_pad = max(128, -(-num_refs // 128) * 128)
+    n_rows = out_rows if out_rows is not None else num_reads + 1
     packed = pack_stream(m, emit_ok, sym)
     rows_all = jnp.where((doc < num_reads) & emit_ok, doc, num_reads)
+
+    def finish(sim):
+        if out_rows is not None:
+            return sim
+        return sim[:num_reads, :num_refs]
 
     # V block cap ~0.5 GB: (B, G_pad) int8
     B = block or min(L, max(1 << 20, (1 << 29) // g_pad))
     if L <= B:
         v = banded_pair_matrix(packed, doc, window, num_reads, num_refs,
                                interpret=interpret)
-        return _scatter_sim(v, rows_all, num_reads)[:num_reads, :num_refs]
+        return finish(_scatter_sim(v, rows_all, num_reads, n_rows=n_rows,
+                                   acc_dtype=acc_dtype))
 
     halo = 1024
     n_blocks = -(-L // B)
@@ -216,11 +240,14 @@ def _pallas_partial_sim(m, doc, sym, num_reads: int, num_refs: int,
                                  interpret=interpret)
         v = v_e[halo:halo + B]
         rows = lax.dynamic_slice(rows_p, (b * B,), (B,))
-        return sim + _scatter_sim(v, rows, num_reads)
+        # int8 accumulator adds wrap mod 256 — exactly the reference's
+        # uchar SimArray += (src/ClusterBWT_DA.cpp:183)
+        return sim + _scatter_sim(v, rows, num_reads, n_rows=n_rows,
+                                  acc_dtype=acc_dtype)
 
     sim = lax.fori_loop(0, n_blocks, body,
-                        jnp.zeros((num_reads + 1, g_pad), jnp.int32))
-    return sim[:num_reads, :num_refs]
+                        jnp.zeros((n_rows, g_pad), acc_dtype))
+    return finish(sim)
 
 
 def banded_fused_step(lcp, da, sym, num_reads: int, num_refs: int,

@@ -14,11 +14,18 @@ import subprocess
 from typing import Dict, Sequence
 
 REFERENCE_SRC = os.environ.get("LIME_REFERENCE_SRC", "/root/reference/src")
-BUILD_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "build", "oracle")
 
-_COMMON = ["-std=c++11", "-O2", "-fopenmp", "-w", "-DNDEBUG",
+# -O3 matches the reference's shipped Makefile (reference Makefile:26);
+# benchmarking against anything weaker would soften the baseline.
+_COMMON = ["-std=c++11", "-O3", "-fopenmp", "-w", "-DNDEBUG",
            "-DDEBUG=0", "-DM64=0", "-DOMP=1"]
+
+# cache binaries per flag set, so flag changes force a rebuild
+import hashlib  # noqa: E402
+
+BUILD_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "build",
+    "oracle_" + hashlib.sha1(" ".join(_COMMON).encode()).hexdigest()[:8])
 
 
 def _variant_name(src: str, defines: Dict[str, int]) -> str:
