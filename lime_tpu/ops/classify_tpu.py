@@ -113,6 +113,61 @@ def cascade_core(dense, max_sim, tax, rank_matrix, valid_t, error,
     return types, out_tax, out_sim
 
 
+def blockwise_cascade(sims, tax, rank_matrix, valid_t, error, norm, beta,
+                      num_files: int, tax_rank: int, assign_higher: bool,
+                      is_mod: bool, block: int):
+    """Counter wrap + normalize + beta gate + cascade over (F, R_pad, G_pad).
+
+    Walks read blocks so only one (block, F, G_pad) float32 tile is live at
+    a time — the paper-scale memory plan (the reference keeps the whole
+    numReads x numRefs uchar matrix + per-read rescans, src/Classify.cpp).
+    ``is_mod``: sims is an int8 accumulator whose bits are the mod-256
+    counters (cast through uint8); otherwise plain integer counts.
+    R_pad must be a multiple of ``block``.
+    """
+    from jax import lax
+
+    F, r_pad, g_pad = sims.shape
+    n_blocks = r_pad // block
+    types0 = jnp.zeros(r_pad, jnp.int8)
+    tax0 = jnp.zeros(r_pad, jnp.uint32)
+    sim0 = jnp.zeros(r_pad, jnp.float32)
+
+    def body(b, carry):
+        ty, tx, sv = carry
+        blk = lax.dynamic_slice(sims, (0, b * block, 0), (F, block, g_pad))
+        x = (blk.astype(jnp.uint8) if is_mod else blk).astype(jnp.float32)
+        norm_rows = x / norm
+        rowmax = jnp.max(norm_rows, axis=2)  # (F, block)
+        qualify = rowmax > beta
+        dense = jnp.transpose(
+            jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
+        maxs = jnp.where(qualify, rowmax, 0.0).T
+        t, x_, s = cascade_core(dense, maxs, tax, rank_matrix, valid_t,
+                                error, num_files, tax_rank, assign_higher)
+        return (lax.dynamic_update_slice(ty, t, (b * block,)),
+                lax.dynamic_update_slice(tx, x_, (b * block,)),
+                lax.dynamic_update_slice(sv, s, (b * block,)))
+
+    return lax.fori_loop(0, n_blocks, body, (types0, tax0, sim0))
+
+
+def classify_block_size(rows: int) -> int:
+    """Static read-block size for :func:`blockwise_cascade`."""
+    want = 1 << 14
+    if rows >= want:
+        return want
+    b = 256
+    while b < rows:
+        b <<= 1
+    return b
+
+
+def pad_rows_for(rows: int) -> int:
+    block = classify_block_size(rows)
+    return -(-rows // block) * block
+
+
 _cascade = jax.jit(cascade_core,
                    static_argnames=("num_file", "tax_rank", "assign_higher"))
 

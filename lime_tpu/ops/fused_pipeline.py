@@ -49,7 +49,7 @@ from ..constants import SYMBOL_RANK_LUT
 from ..formats.arrays import open_da, open_ebwt, open_lcp
 from ..formats.lineage import Lineage
 from ..ops.classify_ops import ClassifyResult
-from ..ops.classify_tpu import cascade_core
+from ..ops.classify_tpu import blockwise_cascade
 from ..ops.fused_pass import _DEGENERATE_BYTE
 from .. import native
 from ..ops.scoring import _expand_positions, score_clusters
@@ -65,18 +65,15 @@ def _g_pad_for(num_refs: int) -> int:
 
 def _classify_block_for(num_reads: int) -> int:
     """Read-block size for the blockwise cascade (static per num_reads)."""
-    want = 1 << 14
-    if num_reads + 1 >= want:
-        return want
-    b = 256
-    while b < num_reads + 1:
-        b <<= 1
-    return b
+    from .classify_tpu import classify_block_size
+
+    return classify_block_size(num_reads + 1)
 
 
 def _r_pad_for(num_reads: int) -> int:
-    block = _classify_block_for(num_reads)
-    return -(-(num_reads + 1) // block) * block
+    from .classify_tpu import pad_rows_for
+
+    return pad_rows_for(num_reads + 1)
 
 
 @functools.partial(
@@ -109,35 +106,14 @@ def _classify_program(sims, crows, ccols, cvals, cfile, tax, rank_matrix,
     and are discarded by the caller; genome lanes past the real count are
     masked by ``valid_t``.
     """
-    F, r_pad, g_pad = sims.shape
     if crows.shape[0]:
         # int8 add wraps mod 256 = the reference's uchar accumulate, so the
         # correction values enter pre-wrapped
         sims = sims.at[cfile, crows, ccols].add(
             cvals.astype(sims.dtype), mode="drop")
-
-    n_blocks = r_pad // block
-    types0 = jnp.zeros(r_pad, jnp.int8)
-    tax0 = jnp.zeros(r_pad, jnp.uint32)
-    sim0 = jnp.zeros(r_pad, jnp.float32)
-
-    def body(b, carry):
-        ty, tx, sv = carry
-        blk = lax.dynamic_slice(sims, (0, b * block, 0), (F, block, g_pad))
-        x = (blk.astype(jnp.uint8) if is_mod else blk).astype(jnp.float32)
-        norm_rows = x / norm
-        rowmax = jnp.max(norm_rows, axis=2)  # (F, block)
-        qualify = rowmax > beta
-        dense = jnp.transpose(
-            jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
-        maxs = jnp.where(qualify, rowmax, 0.0).T
-        t, x_, s = cascade_core(dense, maxs, tax, rank_matrix, valid_t,
-                                error, num_files, tax_rank, assign_higher)
-        return (lax.dynamic_update_slice(ty, t, (b * block,)),
-                lax.dynamic_update_slice(tx, x_, (b * block,)),
-                lax.dynamic_update_slice(sv, s, (b * block,)))
-
-    return lax.fori_loop(0, n_blocks, body, (types0, tax0, sim0))
+    return blockwise_cascade(sims, tax, rank_matrix, valid_t, error, norm,
+                             beta, num_files, tax_rank, assign_higher,
+                             is_mod, block)
 
 
 def _rescue_sparse(bad_start, bad_len, da, ebwt, num_reads: int,

@@ -14,4 +14,8 @@ jax mesh:
 """
 
 from .mesh import make_mesh  # noqa: F401
-from .sharded import make_sharded_pipeline, banded_fused_step  # noqa: F401
+from .sharded import (  # noqa: F401
+    banded_fused_step,
+    make_sharded_pipeline,
+    run_sharded,
+)

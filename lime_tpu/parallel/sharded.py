@@ -44,9 +44,6 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..ops.classify_tpu import cascade_core
-
-
 _PAD_W = 256  # static pad width; window is a traced value <= 255
 
 
@@ -259,34 +256,65 @@ def banded_fused_step(lcp, da, sym, num_reads: int, num_refs: int,
                               jnp.int32(window))
 
 
+_HALO_L_SPMD = 512  # static halo capacity: 2*W_MAX occ lookback
+_HALO_R_SPMD = 256  # forward partners; window itself is traced <= 255
+
+
 def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
-                          num_refs: int, alpha: int, window: int,
-                          read_len: int, beta: float, tax_rank: int,
-                          assign_higher: bool,
-                          sim_modulus: Optional[int] = 256):
+                          num_refs: int, read_len: int, alpha: int,
+                          beta: float, tax_rank: int, assign_higher: bool,
+                          wide_sim: bool = False, max_corr: int = 0):
     """Build the jitted SPMD pipeline step over ``mesh`` (axes sp, dp).
 
-    Returns ``step(lcp, da, sym, tax, rank_matrix, valid_t, error)`` where
-    the first three are (F, N) arrays sharded P(None, ("sp", "dp")) and the
-    outputs are per-read (types, taxid, sim) sharded P("dp").
+    The step consumes *planned* compacted streams (see native lime_plan /
+    ops.fused_pipeline): per file, one packed byte (bit 6 = in-run mask with
+    a cluster's first row cleared, bits 0..3 = symbol rank) and one doc id
+    per surviving position.  Clusters the banded kernel cannot express
+    (IUPAC-degenerate, longer than 255 — the reference's full input domain,
+    src/ClusterBWT_DA.cpp:146-177 + Tools.h:35) arrive as a sparse COO
+    correction computed by the exact host scorer.
+
+    Returns ``step(packed, doc, window, corr..., tax, rank_matrix, valid_t,
+    error)``:
+
+    - ``packed (F, Np) u8`` / ``doc (F, Np) i32``: sharded P(None, (sp, dp));
+      Np must be divisible by sp*dp (driver pads; pad doc ids must be
+      >= num_reads + num_refs).
+    - ``window``: traced i32 <= 255 — one compiled program serves any
+      cluster-length bound.
+    - ``corr_*``: fixed-size COO (file, row, col, val) with out-of-range
+      file index on padding (scatter mode='drop').
+    - outputs (types, taxid, sim) are (r_pad,) sharded P("dp"); rows past
+      ``num_reads`` are junk (scatter drop row + pad) for the caller to
+      slice off.
+
+    SPMD layout: each shard fetches a left/right halo of raw stream from its
+    neighbors with ppermute — the reference's boundary-straddle protocol
+    (src/ClusterLCP.cpp:196-264) as one collective — accumulates a partial
+    (r_pad, G_pad) int8 matrix for its positions (int8 wrap = the
+    reference's uchar counters), psum_scatter over dp hands every dp group
+    its read-row block, a psum over sp merges position shards, and the
+    blockwise cascade runs on local rows with no further communication.
     """
-    if window > 255:
-        raise ValueError("window must be <= 255 (genome-counter saturation)")
+    from ..ops.classify_tpu import blockwise_cascade, classify_block_size
+
     sp = mesh.shape["sp"]
     dp = mesh.shape["dp"]
-    rows_local = num_reads // dp
-    if num_reads % dp:
-        raise ValueError("num_reads must be divisible by the dp axis size")
-    halo = 2 * window
+    g_pad = max(128, -(-num_refs // 128) * 128)
+    block = classify_block_size(-(-(num_reads + 1) // dp))
+    rows_local = -(-(num_reads + 1) // (dp * block)) * block
+    r_pad = rows_local * dp
+    acc_dtype = jnp.int32 if wide_sim else jnp.int8
     beta_f = jnp.float32(beta)
+    halo_l, halo_r = _HALO_L_SPMD, _HALO_R_SPMD
 
-    def shard_fn(lcp, da, sym, tax, rank_matrix, valid_t, error, norm):
+    def shard_fn(packed, doc, window, cfile, crows, ccols, cvals, tax,
+                 rank_matrix, valid_t, error, norm):
         # ``norm`` is a traced argument on purpose: as a constant XLA would
         # strength-reduce x/norm to x*(1/norm), losing bit-parity with the
         # reference's float division (src/ClusterBWT_DA.cpp:404).
         sp_i = lax.axis_index("sp")
         dp_i = lax.axis_index("dp")
-        shard_i = sp_i * dp + dp_i  # linear rank in position order
 
         def from_prev(x, size, fill=0):
             """Last ``size`` elements of the previous position shard."""
@@ -319,56 +347,175 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
                              jnp.where(sp_i < sp - 1, next_row, fill_blk))
 
         def extend(x, fill=0):
-            # left halo 2W (occ lookback of backward partners), right halo W
-            # (forward partners + their occ lookback)
+            # left halo 2*W_MAX (occ lookback of backward partners), right
+            # halo W_MAX (forward partners + their occ lookback)
             return jnp.concatenate(
-                [from_prev(x, halo, fill), x, from_next(x, window, fill)],
-                axis=1)
+                [from_prev(x, halo_l, fill), x,
+                 from_next(x, halo_r, fill)], axis=1)
 
-        lcp_e = extend(lcp)
-        da_e = extend(da, fill=-1)
-        sym_e = extend(sym, fill=-1)
+        if packed.shape[1] < halo_l:
+            # the halo collects from ONE neighbor; a shard narrower than a
+            # halo cannot supply it (driver pads to n_shards * halo_l)
+            raise ValueError(
+                f"per-shard stream ({packed.shape[1]}) must be >= the halo "
+                f"capacity ({halo_l}); pad the position stream")
 
-        L = lcp_e.shape[1]
+        pk_e = extend(packed)
+        # pad doc ids are already out of range; halo fill matches
+        da_e = extend(doc, fill=num_reads + num_refs)
+
+        L = pk_e.shape[1]
         idx = jnp.arange(L)
-        n_local = lcp.shape[1]
-        emit_ok = (idx >= halo) & (idx < halo + n_local)
-        first_ok = jnp.logical_not((shard_i == 0) & (idx == halo))
+        n_local = packed.shape[1]
+        emit_ok = (idx >= halo_l) & (idx < halo_l + n_local)
+
+        m_e = ((pk_e >> 6) & 1).astype(bool)
+        sym_e = (pk_e & 15).astype(jnp.int8)
 
         partial = jax.vmap(
-            lambda l, d, s: banded_partial_sim(
-                (l >= alpha) & first_ok, d, s, num_reads, num_refs,
-                jnp.int32(window), emit_ok=emit_ok)
-        )(lcp_e, da_e, sym_e)  # (F, R, G) partial for this shard
+            lambda m1, d, s: banded_partial_sim(
+                m1, d, s, num_reads, num_refs, window, emit_ok=emit_ok,
+                out_rows=r_pad, acc_dtype=acc_dtype)
+        )(m_e, da_e, sym_e)  # (F, r_pad, G_pad) partial for this shard
 
-        # Row-shard over dp, then merge position shards over sp.
+        # Row-shard over dp, then merge position shards over sp.  int8
+        # partial sums wrap mod 256 = the reference's uchar SimArray
+        # accumulation (src/ClusterBWT_DA.cpp:183).
         sims = lax.psum_scatter(partial, "dp", scatter_dimension=1,
-                                tiled=True)  # (F, R/dp, G)
+                                tiled=True)  # (F, rows_local, G_pad)
         sims = lax.psum(sims, "sp")
 
-        if sim_modulus:
-            sims = sims % sim_modulus
-        norm_rows = sims.astype(jnp.float32) / norm
-        rowmax = jnp.max(norm_rows, axis=2)  # (F, R_l)
-        qualify = rowmax > beta_f
-        dense = jnp.transpose(
-            jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
-        maxs = jnp.where(qualify, rowmax, 0.0).T  # (R_l, F)
+        # host-rescued cluster corrections for this shard's row block
+        if max_corr:
+            local_r = crows - dp_i * rows_local
+            ok = (local_r >= 0) & (local_r < rows_local)
+            sims = sims.at[
+                jnp.where(ok, cfile, num_files), local_r, ccols].add(
+                cvals.astype(sims.dtype), mode="drop")
 
-        return cascade_core(dense, maxs, tax, rank_matrix, valid_t, error,
-                            num_files, tax_rank, assign_higher)
+        return blockwise_cascade(sims, tax, rank_matrix, valid_t, error,
+                                 norm, beta_f, num_files, tax_rank,
+                                 assign_higher, not wide_sim, block)
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, ("sp", "dp")), P(None, ("sp", "dp")),
-                  P(None, ("sp", "dp")), P(), P(), P(), P(), P()),
+        in_specs=(P(None, ("sp", "dp")), P(None, ("sp", "dp")), P(),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
     jitted = jax.jit(mapped)
     norm = jnp.float32(np.uint32(read_len + 1 - alpha))
 
-    def step(lcp, da, sym, tax, rank_matrix, valid_t, error):
-        return jitted(lcp, da, sym, tax, rank_matrix, valid_t, error, norm)
+    def step(packed, doc, window, cfile, crows, ccols, cvals, tax,
+             rank_matrix, valid_t, error):
+        return jitted(packed, doc, jnp.asarray(window, jnp.int32), cfile,
+                      crows, ccols, cvals, tax, rank_matrix, valid_t,
+                      error, norm)
 
     return step
+
+
+def run_sharded(collections, output_path: str, num_reads: int,
+                num_genomes: int, lineage_path: str, read_len: int,
+                config=None, mesh=None):
+    """End-to-end SPMD run: plan on host, classify on the device mesh.
+
+    The multi-chip counterpart of ops.fused_pipeline.run_fused — handles the
+    reference's full input domain (IUPAC-degenerate symbols and clusters up
+    to 65,536 via the host-rescue COO path).
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..constants import SYMBOL_RANK_LUT
+    from ..formats.arrays import open_da, open_ebwt, open_lcp
+    from ..formats.lineage import read_lineage
+    from ..ops.classify_ops import ClassifyResult
+    from ..ops.fused_pass import _DEGENERATE_BYTE
+    from ..ops.fused_pipeline import _plan_python, _rescue_sparse
+    from .. import native
+    from .mesh import make_mesh
+
+    config = config or DEFAULT_CONFIG
+    if mesh is None:
+        mesh = make_mesh(len(jax.devices()))
+    F = len(collections)
+    if F not in (2, 4):
+        raise ValueError("sharded run takes 2 or 4 collections")
+    lineage = read_lineage(lineage_path)
+    n_shards = mesh.shape["sp"] * mesh.shape["dp"]
+
+    packs, docs, windows = [], [], []
+    corr = []
+    for fi, fasta in enumerate(collections):
+        lcp = open_lcp(fasta)
+        da = open_da(fasta)
+        ebwt = open_ebwt(fasta) if config.use_ebwt else None
+        if native.available():
+            packed, doc, nc, window, bad_s, bad_l = native.plan_native(
+                lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
+                _DEGENERATE_BYTE, use_u16=False, pad_block=1,
+                pad_doc=num_reads + num_genomes)
+        else:
+            packed, doc, window, bad_s, bad_l = _plan_python(
+                lcp, da, ebwt, num_reads, num_genomes, config,
+                use_u16=False)
+        packs.append(packed)
+        docs.append(doc.astype(np.int32))
+        windows.append(window)
+        if len(bad_s):
+            corr.append((fi, *_rescue_sparse(bad_s, bad_l, da, ebwt,
+                                             num_reads, num_genomes,
+                                             config)))
+
+    # every shard must be at least one halo wide (see shard_fn's guard)
+    n_p = max(max(len(p) for p in packs), n_shards * _HALO_L_SPMD)
+    n_p = -(-n_p // n_shards) * n_shards
+    packed = np.zeros((F, n_p), np.uint8)
+    doc = np.full((F, n_p), num_reads + num_genomes, np.int32)
+    for fi in range(F):
+        packed[fi, :len(packs[fi])] = packs[fi]
+        doc[fi, :len(docs[fi])] = docs[fi]
+
+    if corr:
+        cfile = np.concatenate(
+            [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
+        crows = np.concatenate([r for _, r, _, _ in corr]).astype(np.int32)
+        ccols = np.concatenate([c for _, _, c, _ in corr]).astype(np.int32)
+        cvals = np.concatenate([v for _, _, _, v in corr]).astype(np.int32)
+        k = max(256, 1 << int(np.ceil(np.log2(len(cfile)))))
+        pad = k - len(cfile)
+        cfile = np.pad(cfile, (0, pad), constant_values=F)
+        crows = np.pad(crows, (0, pad))
+        ccols = np.pad(ccols, (0, pad))
+        cvals = np.pad(cvals, (0, pad))
+        max_corr = k
+    else:
+        cfile = crows = ccols = np.empty(0, np.int32)
+        cvals = np.empty(0, np.int32)
+        max_corr = 0
+
+    g_pad = max(128, -(-num_genomes // 128) * 128)
+    tax = np.zeros(g_pad, np.uint32)
+    tax[:num_genomes] = lineage.at_rank(config.tax_rank)
+    rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+    rank_matrix[:, :num_genomes] = lineage.taxids
+    valid_t = np.arange(g_pad) < num_genomes
+
+    step = make_sharded_pipeline(
+        mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
+        read_len=read_len, alpha=config.alpha, beta=config.beta,
+        tax_rank=config.tax_rank, assign_higher=config.assign_higher,
+        wide_sim=config.wide_sim, max_corr=max_corr)
+    types, taxid, sim = step(packed, doc, max(windows), cfile, crows,
+                             ccols, cvals, tax, rank_matrix, valid_t,
+                             jnp.float32(config.error_tolerance))
+    res = ClassifyResult(np.asarray(types)[:num_reads],
+                         np.asarray(taxid)[:num_reads],
+                         np.asarray(sim)[:num_reads])
+    if output_path:
+        from ..pipeline import _write_csv_block
+
+        with open(output_path, "w") as out:
+            out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
+            _write_csv_block(out, 0, res)
+    return res
