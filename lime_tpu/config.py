@@ -54,6 +54,12 @@ class LimeConfig:
     threads: int = 1  # host-side worker threads for IO-bound stages
     block_positions: int = 1 << 22  # streaming block size for the TPU pass
     error_tolerance: float = 0.02  # classify tie tolerance (Tools.h:37)
+    # Density routing: clusters with at least this many genome positions run
+    # on the TPU banded kernel; sparser ones go to the native SIMD scorer
+    # (the one-hot kernel pays window * G_pad lanes per position regardless
+    # of hits, so it only wins when many genome lanes actually hit).
+    # None = auto: 0 (everything TPU) while G_pad <= 128, else G_pad // 16.
+    dense_threshold: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.executor not in ("tpu", "host"):

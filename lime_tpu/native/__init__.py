@@ -36,8 +36,8 @@ def _load() -> Optional[ctypes.CDLL]:
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 os.makedirs(_LIB_DIR, exist_ok=True)
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", _SRC, "-o", _LIB],
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                     "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB)
             lib.lime_build_index.restype = ctypes.c_int64
@@ -49,9 +49,18 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.lime_plan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+                ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.lime_score_clusters.restype = ctypes.c_int64
+            lib.lime_score_clusters.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ]
             lib.lime_format_csv.restype = ctypes.c_int64
             lib.lime_format_csv.argtypes = [
@@ -91,17 +100,21 @@ def build_index_native(seqs: Sequence[bytes]
 def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
                 num_reads: int, alpha: int, sym_lut: np.ndarray,
                 deg_lut: np.ndarray, use_u16: bool,
-                pad_block: int = 1, pad_doc: int = 0,
+                pad_block: int = 1, pad_doc: int = 0, g_dense: int = 0,
                 ) -> Tuple[np.ndarray, np.ndarray, int, int,
                            np.ndarray, np.ndarray]:
-    """One C++ pass: alpha-cluster scan + membership filter + compaction.
+    """One C++ pass: alpha-cluster scan + membership filter + routing.
 
     Returns ``(packed, doc, n_compact, window, bad_start, bad_len)`` where
     packed/doc are the compacted banded-kernel stream padded to the next
     ``pad_block`` multiple (doc padding = ``pad_doc``, written at allocation
     so no post-pass pad copy is needed) and bad_start/bad_len list the
-    clusters routed to the host rescue path.  Releases the GIL for the
-    whole pass, so collections plan in parallel from Python threads.
+    clusters routed to the host scorer: IUPAC-degenerate, longer than 255,
+    or with fewer than ``g_dense`` genome positions (density routing — the
+    TPU one-hot kernel pays window*G_pad lanes per position regardless of
+    hits, so genome-sparse clusters run faster through
+    :func:`score_clusters_native`).  Releases the GIL for the whole pass,
+    so collections plan in parallel from Python threads.
     """
     lib = _load()
     if lib is None:
@@ -124,6 +137,7 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
     deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
     rc = lib.lime_plan(
         lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
+        g_dense,
         sym_lut.ctypes.data, deg_lut.ctypes.data,
         packed.ctypes.data,
         doc.ctypes.data if use_u16 else 0,
@@ -137,6 +151,55 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
     # and doc stays pad_doc, i.e. the pad is already in place
     return (packed[:n_pad], doc[:n_pad], nc, window,
             bad_start[:nbad].copy(), bad_len[:nbad].copy())
+
+
+def score_clusters_native(starts: np.ndarray, lens: np.ndarray,
+                          da: np.ndarray, ebwt: np.ndarray | None,
+                          num_reads: int, num_refs: int,
+                          sym_lut: np.ndarray, deg_lut: np.ndarray,
+                          wf_pairs: Sequence[Tuple[int, int]],
+                          wide: bool = False, threads: int = 0,
+                          out: Optional[np.ndarray] = None,
+                          mem_cap: int = 8 << 30) -> np.ndarray:
+    """Score a cluster list into a dense (R, G) matrix — native SIMD path.
+
+    Reference-exact counter semantics (u8 wrap / 255 saturation / IUPAC
+    waterfall, src/ClusterBWT_DA.cpp:81-252); ``wide`` selects u32 counters
+    (dataTypeNumSim=1).  ``out`` accumulates in place when given.  Releases
+    the GIL; clusters score on ``threads`` OpenMP threads (0 = all cores)
+    into per-thread partials capped at ``mem_cap`` bytes.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    eb_ptr = 0
+    if ebwt is not None:
+        ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
+        eb_ptr = ebwt.ctypes.data
+    dtype = np.uint32 if wide else np.uint8
+    if out is None:
+        out = np.zeros((num_reads, num_refs), dtype=dtype)
+    elif out.dtype != dtype or out.shape != (num_reads, num_refs):
+        raise ValueError("out must be (num_reads, num_refs) of the "
+                         f"{dtype} dtype")
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    wf = np.ascontiguousarray(
+        np.asarray(wf_pairs, dtype=np.int32).reshape(-1))
+    sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
+    rc = lib.lime_score_clusters(
+        starts.ctypes.data, lens.ctypes.data, len(starts),
+        da.ctypes.data, eb_ptr, num_reads, num_refs,
+        sym_lut.ctypes.data, deg_lut.ctypes.data,
+        wf.ctypes.data, len(wf) // 2, int(wide),
+        out.ctypes.data, threads, mem_cap)
+    if rc != 0:
+        raise RuntimeError(f"lime_score_clusters failed: {rc}")
+    return out
 
 
 def format_csv(types: np.ndarray, taxid: np.ndarray, sim: np.ndarray,

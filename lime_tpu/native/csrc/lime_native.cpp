@@ -9,10 +9,14 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -209,42 +213,49 @@ int64_t lime_build_index(const uint8_t* concat, const int64_t* seq_lens,
   return 0;
 }
 
-// Single-pass fused-pipeline planner.
+// Single-pass fused-pipeline planner with density routing.
 //
 // Streams the collection index once, detecting alpha-clusters (maximal runs
 // of lcp >= alpha extended one row left — reference src/ClusterLCP.cpp:14-43)
 // and applying the membership filter (>= 1 read and >= 1 genome row,
-// src/ClusterLCP.cpp:220) on the fly.  Kept clusters are compacted into the
-// banded device stream (one packed byte + one doc id per position; a
-// cluster's first row carries run-bit 0 so adjacent clusters never band-match
-// each other).  Clusters the banded kernel cannot express — longer than the
-// 255-occurrence saturation bound or containing an IUPAC-degenerate symbol —
-// are appended to the host-rescue list instead.
+// src/ClusterLCP.cpp:220) on the fly.  Each kept cluster is routed by
+// genome density:
+//
+// - genome-rich pure-ACGT clusters of length <= 255 go to the banded TPU
+//   kernel, whose per-position cost is window * G_pad one-hot lanes —
+//   efficient exactly when many genome lanes hit;
+// - everything else (sparse clusters, where the one-hot would idle most
+//   lanes; IUPAC-degenerate clusters, whose leftover waterfall is stateful,
+//   src/ClusterBWT_DA.cpp:146-177; clusters longer than the 255 occurrence
+//   saturation bound, up to sizeMaxBuf=65,536, src/Tools.h:35) goes to the
+//   native SIMD scorer (lime_score_clusters below).
 //
 //   lcp/da      — index arrays, n positions
 //   ebwt        — may be null (document-only scoring, reference EBWT=0)
+//   g_dense     — minimum genome positions for TPU routing (0 = always TPU)
 //   sym_lut     — 256-entry symbol-rank table (low 4 bits used)
 //   deg_lut     — 256-entry IUPAC-degenerate indicator
 //   packed      — compacted stream bytes, capacity n
 //   doc16/doc32 — compacted doc ids; exactly one non-null, capacity n
-//   bad_start/bad_len — rescue cluster list, capacity n/2 + 1
+//   bad_start/bad_len — host-scored cluster list, capacity n/2 + 1
 //   meta        — out: [n_compact, window, n_bad]
 //
 // Returns 0 on success, negative on error.
 int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
                   int64_t n, int64_t num_reads, uint32_t alpha,
+                  int64_t g_dense,
                   const uint8_t* sym_lut, const uint8_t* deg_lut,
                   uint8_t* packed, uint16_t* doc16, uint32_t* doc32,
                   int64_t* bad_start, int64_t* bad_len, int64_t* meta) {
   if (n <= 0 || (!doc16 && !doc32)) return -1;
   i64 w = 0, nbad = 0, window = 1;
-  i64 p_start = -1;
-  bool open = false, has_r = false, has_g = false, deg = false;
+  i64 p_start = -1, n_g = 0;
+  bool open = false, has_r = false, deg = false;
 
   auto close = [&](i64 end) {
-    if (has_r && has_g) {
+    if (has_r && n_g > 0) {
       i64 len = end - p_start;
-      if (len > 255 || deg) {
+      if (len > 255 || deg || n_g < g_dense) {
         bad_start[nbad] = p_start;
         bad_len[nbad] = len;
         nbad++;
@@ -273,13 +284,13 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
         open = true;
         p_start = i - 1;
         has_r = da[p_start] < static_cast<uint32_t>(num_reads);
-        has_g = !has_r;
+        n_g = has_r ? 0 : 1;
         deg = ebwt && deg_lut[ebwt[p_start]];
       }
       if (da[i] < static_cast<uint32_t>(num_reads)) {
         has_r = true;
       } else {
-        has_g = true;
+        n_g++;
       }
       if (ebwt && deg_lut[ebwt[i]]) deg = true;
     } else if (open) {
@@ -291,6 +302,182 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
   meta[0] = w;
   meta[1] = window;
   meta[2] = nbad;
+  return 0;
+}
+
+// Native cluster scorer — the host half of the density-routed scoring pass.
+//
+// Scores a cluster list into a dense (num_reads x num_refs) similarity
+// matrix with the reference's exact counter semantics
+// (src/ClusterBWT_DA.cpp:81-252):
+//
+// - per (cluster, document) 16-symbol histograms; genome counters saturate
+//   at 255 (Update_ref_symb, ClusterBWT_DA.cpp:96), read counters are
+//   unsaturated uchar and wrap mod 256 (ClusterBWT_DA.cpp:123);
+// - symbol-aware score t = sum_s min(read_h, ref_h) plus the IUPAC leftover
+//   waterfall including its first-block update quirk (the losing counter is
+//   zeroed, the winner never decremented — ClusterBWT_DA.cpp:150-161);
+// - ebwt == null selects the document-count variant (EBWT=0,
+//   ClusterBWT_DA.cpp:192-252): t = min(read_count, ref_count);
+// - the matrix accumulates u8 with wrap (SimArray_ +=,
+//   ClusterBWT_DA.cpp:183), or u32 when wide != 0 (dataTypeNumSim=1).
+//
+// wf_pairs: the waterfall visit order as (acgt_rank, degenerate_rank) pairs
+// (flattened int32), passed in from the Python constants so the table has
+// one source of truth.
+//
+// OpenMP: clusters are scored in parallel into per-thread partial matrices
+// merged at the end (threads is clamped so partials stay within mem_cap
+// bytes).  Returns 0 on success.
+int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
+                            int64_t n_clusters, const uint32_t* da,
+                            const uint8_t* ebwt, int64_t num_reads,
+                            int64_t num_refs, const uint8_t* sym_lut,
+                            const uint8_t* deg_lut, const int32_t* wf_pairs,
+                            int64_t n_wf, int64_t wide, void* sim_out,
+                            int64_t threads, int64_t mem_cap) {
+  if (n_clusters < 0 || num_reads <= 0 || num_refs <= 0) return -1;
+  const i64 cells = num_reads * num_refs;
+  const i64 cell_bytes = wide ? 4 : 1;
+  if (threads < 1) threads = 1;
+  if (mem_cap > 0) {
+    while (threads > 1 && (threads - 1) * cells * cell_bytes > mem_cap)
+      threads--;
+  }
+
+  struct Seg {
+    uint32_t doc;
+    uint32_t h[16];
+    uint32_t count;
+    bool deg;
+  };
+
+  auto score_range = [&](i64 c_lo, i64 c_hi, void* out) {
+    std::vector<uint64_t> keys;
+    std::vector<Seg> rsegs, gsegs;
+    uint8_t* out8 = static_cast<uint8_t*>(out);
+    uint32_t* out32 = static_cast<uint32_t*>(out);
+    for (i64 c = c_lo; c < c_hi; c++) {
+      const i64 s = starts[c], len = lens[c];
+      keys.clear();
+      keys.reserve(len);
+      bool cluster_deg = false;
+      for (i64 j = s; j < s + len; j++) {
+        uint8_t sym = ebwt ? (sym_lut[ebwt[j]] & 15) : 0;
+        if (ebwt && deg_lut[ebwt[j]]) cluster_deg = true;
+        keys.push_back((static_cast<uint64_t>(da[j]) << 4) | sym);
+      }
+      std::sort(keys.begin(), keys.end());
+      rsegs.clear();
+      gsegs.clear();
+      i64 k = 0;
+      while (k < len) {
+        uint32_t doc = static_cast<uint32_t>(keys[k] >> 4);
+        Seg seg{};
+        seg.doc = doc;
+        while (k < len && static_cast<uint32_t>(keys[k] >> 4) == doc) {
+          unsigned sym = keys[k] & 15;
+          seg.h[sym]++;
+          seg.count++;
+          if (sym >= 4 && sym <= 14) seg.deg = true;
+          k++;
+        }
+        if (doc < static_cast<uint32_t>(num_reads)) {
+          rsegs.push_back(seg);
+        } else {
+          gsegs.push_back(seg);
+        }
+      }
+      for (const Seg& r : rsegs) {
+        for (const Seg& g : gsegs) {
+          uint32_t t = 0;
+          if (ebwt) {
+            uint32_t u[16], v[16];
+            bool leftovers = false;
+            for (int x = 0; x < 16; x++) {
+              // uchar read counters wrap; wide (dataTypeNumSim=1) doesn't
+              uint32_t rh = wide ? r.h[x] : (r.h[x] & 0xFF);
+              uint32_t gh = g.h[x] > 255 ? 255 : g.h[x];  // saturation
+              uint32_t m = rh < gh ? rh : gh;
+              t += m;
+              u[x] = rh - m;
+              v[x] = gh - m;
+              if (u[x] | v[x]) leftovers = true;
+            }
+            if (cluster_deg && leftovers && (r.deg || g.deg)) {
+              for (i64 p = 0; p < n_wf; p++) {
+                const int iA = wf_pairs[2 * p], a = wf_pairs[2 * p + 1];
+                uint32_t va = v[a], ui = u[iA];
+                if (va > 0) {
+                  t += va < ui ? va : ui;
+                  if (va > ui) u[iA] = 0; else v[a] = 0;
+                }
+                uint32_t ua = u[a], vi = v[iA];
+                if (ua > 0) {
+                  t += ua < vi ? ua : vi;
+                  if (ua > vi) {
+                    u[a] = ua - vi;
+                    v[iA] = 0;
+                  } else {
+                    u[a] = 0;
+                    v[iA] = vi - ua;
+                  }
+                }
+              }
+            }
+          } else {
+            uint32_t rc = wide ? r.count : (r.count & 0xFF);
+            uint32_t gc = g.count > 255 ? 255 : g.count;
+            t = rc < gc ? rc : gc;
+          }
+          const i64 cell = static_cast<i64>(r.doc) * num_refs +
+                           (g.doc - num_reads);
+          if (wide) {
+            out32[cell] += t;
+          } else {
+            out8[cell] = static_cast<uint8_t>(out8[cell] + t);
+          }
+        }
+      }
+    }
+  };
+
+  if (threads == 1 || n_clusters < 64) {
+    score_range(0, n_clusters, sim_out);
+    return 0;
+  }
+
+  std::vector<std::vector<uint8_t>> partials(threads - 1);
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    void* out = sim_out;
+    if (tid > 0) {
+      partials[tid - 1].assign(cells * cell_bytes, 0);
+      out = partials[tid - 1].data();
+    }
+    const i64 chunk = (n_clusters + threads - 1) / threads;
+    const i64 lo = tid * chunk;
+    const i64 hi = std::min<i64>(n_clusters, lo + chunk);
+    if (lo < hi) score_range(lo, hi, out);
+  }
+  for (auto& part : partials) {
+    if (part.empty()) continue;
+    if (wide) {
+      uint32_t* dst = static_cast<uint32_t*>(sim_out);
+      const uint32_t* src = reinterpret_cast<const uint32_t*>(part.data());
+      for (i64 x = 0; x < cells; x++) dst[x] += src[x];
+    } else {
+      uint8_t* dst = static_cast<uint8_t*>(sim_out);
+      const uint8_t* src = part.data();
+      for (i64 x = 0; x < cells; x++)
+        dst[x] = static_cast<uint8_t>(dst[x] + src[x]);
+    }
+  }
   return 0;
 }
 

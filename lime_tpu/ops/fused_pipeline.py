@@ -116,6 +116,29 @@ def _classify_program(sims, crows, ccols, cvals, cfile, tax, rank_matrix,
                              is_mod, block)
 
 
+def _dense_threshold_for(num_genomes: int, config: LimeConfig) -> int:
+    """Genome-position threshold for TPU routing (see LimeConfig)."""
+    if config.dense_threshold is not None:
+        return config.dense_threshold
+    g_pad = _g_pad_for(num_genomes)
+    return 0 if g_pad <= 128 else g_pad // 16
+
+
+def _score_small_dense(starts, lens, da, ebwt, n_r, n_g,
+                       config: LimeConfig) -> np.ndarray:
+    """Exact scores for a (small, remapped) cluster set — native or numpy."""
+    if native.available():
+        from ..constants import IUPAC_WATERFALL_PAIRS
+
+        return native.score_clusters_native(
+            starts, lens, da, ebwt, n_r, n_g, SYMBOL_RANK_LUT,
+            _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
+            wide=config.wide_sim,
+            threads=0 if ebwt is None or len(starts) > 64 else 1)
+    return score_clusters(starts, lens, da, ebwt, n_r, n_g,
+                          config.replace(wide_sim=True))
+
+
 def _rescue_sparse(bad_start, bad_len, da, ebwt, num_reads: int,
                    num_genomes: int, config: LimeConfig):
     """Exact host scores for rescued clusters, as COO (rows, cols, vals).
@@ -134,9 +157,9 @@ def _rescue_sparse(bad_start, bad_len, da, ebwt, num_reads: int,
     da_small = inv.astype(np.uint32)
     eb_small = None if ebwt is None else np.asarray(ebwt[gpos])
     offs = np.concatenate([[0], np.cumsum(np.asarray(bad_len, np.int64))])
-    dense = score_clusters(offs[:-1], np.asarray(bad_len, np.int64),
-                           da_small, eb_small, n_r, len(uniq) - n_r,
-                           config.replace(wide_sim=True))
+    dense = _score_small_dense(offs[:-1], np.asarray(bad_len, np.int64),
+                               da_small, eb_small, n_r, len(uniq) - n_r,
+                               config)
     r_i, g_i = np.nonzero(dense)
     rows = uniq[r_i].astype(np.int32)
     cols = (uniq[n_r + g_i] - num_reads).astype(np.int32)
@@ -144,6 +167,42 @@ def _rescue_sparse(bad_start, bad_len, da, ebwt, num_reads: int,
     if config.sim_modulus:
         vals = vals % config.sim_modulus
     return rows, cols, vals.astype(np.int32)
+
+
+# COO stays cheaper than a dense (R, G) upload while the rescued clusters
+# cover few positions; past this, the native scorer fills a full matrix.
+_COO_POSITION_CAP = 1 << 20
+
+
+def _rescue(bad_start, bad_len, da, ebwt, num_reads: int, num_genomes: int,
+            config: LimeConfig):
+    """Host-side exact scoring of routed clusters.
+
+    Returns ``("coo", rows, cols, vals)`` for small rescue sets or
+    ``("dense", matrix)`` (u8 with wrap / u32 wide — the reference's own
+    SimArray footprint, src/ClusterBWT_DA.cpp:606-611) when density routing
+    sends a large share of clusters to the host scorer.
+    """
+    total = int(np.asarray(bad_len, np.int64).sum())
+    if (total <= _COO_POSITION_CAP and total < num_reads * num_genomes // 16
+            ) or not native.available():
+        return ("coo", *_rescue_sparse(bad_start, bad_len, da, ebwt,
+                                       num_reads, num_genomes, config))
+    from ..constants import IUPAC_WATERFALL_PAIRS
+
+    mat = native.score_clusters_native(
+        np.asarray(bad_start, np.int64), np.asarray(bad_len, np.int64),
+        np.asarray(da), None if ebwt is None else np.asarray(ebwt),
+        num_reads, num_genomes, SYMBOL_RANK_LUT, _DEGENERATE_BYTE,
+        IUPAC_WATERFALL_PAIRS, wide=config.wide_sim, threads=0)
+    return ("dense", mat)
+
+
+@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+def _add_host_matrix(sim, host):
+    """sim[:R, :G] += host on device (int add wraps like uchar counters)."""
+    return sim.at[:host.shape[0], :host.shape[1]].add(
+        host.astype(sim.dtype))
 
 
 def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
@@ -159,6 +218,7 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
     r_pad = _r_pad_for(num_reads)
     block = _classify_block_for(num_reads)
     wide = bool(config.wide_sim)
+    g_dense = _dense_threshold_for(num_genomes, config)
     sims_dev = []
     corr = []  # (file, rows, cols, vals) per rescued collection
 
@@ -184,13 +244,15 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
             packed, doc, _nc, window, bad_start, bad_len = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16, pad_block=_BLOCK,
-                pad_doc=num_reads + num_genomes)
+                pad_doc=num_reads + num_genomes, g_dense=g_dense)
         else:
+            # the numpy fallback has no fast host scorer, so only clusters
+            # the banded kernel cannot express route to the host
             packed, doc, window, bad_start, bad_len = _plan_python(
                 lcp, da, ebwt, num_reads, num_genomes, config, use_u16)
         rescue = None
         if len(bad_start):
-            rescue = lambda: _rescue_sparse(  # noqa: E731
+            rescue = lambda: _rescue(  # noqa: E731
                 bad_start, bad_len, da, ebwt, num_reads, num_genomes, config)
         return packed, doc, window, rescue
 
@@ -211,9 +273,13 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
             futures = [pool.submit(plan_and_dispatch, c)
                        for c in collections]
             for fi, fut in enumerate(futures):
-                sim_dev, coo = fut.result()
-                if coo is not None and len(coo[0]):
-                    corr.append((fi, *coo))
+                sim_dev, res = fut.result()
+                if res is None:
+                    pass
+                elif res[0] == "dense":
+                    sim_dev = _add_host_matrix(sim_dev, jnp.asarray(res[1]))
+                elif len(res[1]):
+                    corr.append((fi, *res[1:]))
                 sims_dev.append(sim_dev)
 
     with timer.phase("classify"):

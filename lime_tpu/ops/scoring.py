@@ -132,8 +132,12 @@ def iupac_waterfall(u: np.ndarray, v: np.ndarray) -> np.ndarray:
         win_a = va > ui
         u[:, i] = np.where(gate & win_a, 0, ui)
         v[:, a] = np.where(gate & ~win_a, 0, va)
-        # Read degenerate u[a] absorbs genome ACGT v[i].
-        ua, vi = u[:, a], v[:, i]
+        # Read degenerate u[a] absorbs genome ACGT v[i].  Copies, not views:
+        # u[:, a] is assigned before v[:, i] is computed, and the reference
+        # decrements v[i] by the PRE-update u[a] (ClusterBWT_DA.cpp:163-174
+        # — unlike its first block, the second block's updates are properly
+        # sequenced).
+        ua, vi = u[:, a].copy(), v[:, i].copy()
         gate2 = ua > 0
         t += np.where(gate2, np.minimum(ua, vi), 0)
         win_u = ua > vi

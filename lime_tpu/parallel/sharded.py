@@ -263,7 +263,8 @@ _HALO_R_SPMD = 256  # forward partners; window itself is traced <= 255
 def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
                           num_refs: int, read_len: int, alpha: int,
                           beta: float, tax_rank: int, assign_higher: bool,
-                          wide_sim: bool = False, max_corr: int = 0):
+                          wide_sim: bool = False, max_corr: int = 0,
+                          dense_corr: bool = False):
     """Build the jitted SPMD pipeline step over ``mesh`` (axes sp, dp).
 
     The step consumes *planned* compacted streams (see native lime_plan /
@@ -308,8 +309,8 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
     beta_f = jnp.float32(beta)
     halo_l, halo_r = _HALO_L_SPMD, _HALO_R_SPMD
 
-    def shard_fn(packed, doc, window, cfile, crows, ccols, cvals, tax,
-                 rank_matrix, valid_t, error, norm):
+    def shard_fn(packed, doc, window, cfile, crows, ccols, cvals, hostm,
+                 tax, rank_matrix, valid_t, error, norm):
         # ``norm`` is a traced argument on purpose: as a constant XLA would
         # strength-reduce x/norm to x*(1/norm), losing bit-parity with the
         # reference's float division (src/ClusterBWT_DA.cpp:404).
@@ -385,13 +386,16 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
                                 tiled=True)  # (F, rows_local, G_pad)
         sims = lax.psum(sims, "sp")
 
-        # host-rescued cluster corrections for this shard's row block
+        # host-scored cluster corrections for this shard's row block
         if max_corr:
             local_r = crows - dp_i * rows_local
             ok = (local_r >= 0) & (local_r < rows_local)
             sims = sims.at[
                 jnp.where(ok, cfile, num_files), local_r, ccols].add(
                 cvals.astype(sims.dtype), mode="drop")
+        if dense_corr:
+            # density-routed host matrix, row-sharded over dp like sims
+            sims = sims + hostm.astype(sims.dtype)
 
         return blockwise_cascade(sims, tax, rank_matrix, valid_t, error,
                                  norm, beta_f, num_files, tax_rank,
@@ -400,18 +404,27 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, ("sp", "dp")), P(None, ("sp", "dp")), P(),
-                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(None, "dp", None),
+                  P(), P(), P(), P(), P()),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
     jitted = jax.jit(mapped)
     norm = jnp.float32(np.uint32(read_len + 1 - alpha))
+    host_dtype = np.uint32 if wide_sim else np.uint8
+    hostm_dummy = np.zeros((num_files, dp, g_pad), host_dtype)
 
     def step(packed, doc, window, cfile, crows, ccols, cvals, tax,
-             rank_matrix, valid_t, error):
+             rank_matrix, valid_t, error, hostm=None):
+        if hostm is None:
+            hostm = hostm_dummy  # (F, dp, g_pad): one zero row per shard
+        if dense_corr and hostm.shape[1] != r_pad:
+            padded = np.zeros((num_files, r_pad, g_pad), host_dtype)
+            padded[:, :hostm.shape[1], :hostm.shape[2]] = hostm
+            hostm = padded
         return jitted(packed, doc, jnp.asarray(window, jnp.int32), cfile,
-                      crows, ccols, cvals, tax, rank_matrix, valid_t,
-                      error, norm)
+                      crows, ccols, cvals, hostm, tax, rank_matrix,
+                      valid_t, error, norm)
 
     return step
 
@@ -431,7 +444,11 @@ def run_sharded(collections, output_path: str, num_reads: int,
     from ..formats.lineage import read_lineage
     from ..ops.classify_ops import ClassifyResult
     from ..ops.fused_pass import _DEGENERATE_BYTE
-    from ..ops.fused_pipeline import _plan_python, _rescue_sparse
+    from ..ops.fused_pipeline import (
+        _dense_threshold_for,
+        _plan_python,
+        _rescue,
+    )
     from .. import native
     from .mesh import make_mesh
 
@@ -443,9 +460,11 @@ def run_sharded(collections, output_path: str, num_reads: int,
         raise ValueError("sharded run takes 2 or 4 collections")
     lineage = read_lineage(lineage_path)
     n_shards = mesh.shape["sp"] * mesh.shape["dp"]
+    g_dense = _dense_threshold_for(num_genomes, config)
 
     packs, docs, windows = [], [], []
     corr = []
+    host_mats = {}
     for fi, fasta in enumerate(collections):
         lcp = open_lcp(fasta)
         da = open_da(fasta)
@@ -454,7 +473,7 @@ def run_sharded(collections, output_path: str, num_reads: int,
             packed, doc, nc, window, bad_s, bad_l = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16=False, pad_block=1,
-                pad_doc=num_reads + num_genomes)
+                pad_doc=num_reads + num_genomes, g_dense=g_dense)
         else:
             packed, doc, window, bad_s, bad_l = _plan_python(
                 lcp, da, ebwt, num_reads, num_genomes, config,
@@ -463,9 +482,12 @@ def run_sharded(collections, output_path: str, num_reads: int,
         docs.append(doc.astype(np.int32))
         windows.append(window)
         if len(bad_s):
-            corr.append((fi, *_rescue_sparse(bad_s, bad_l, da, ebwt,
-                                             num_reads, num_genomes,
-                                             config)))
+            res = _rescue(bad_s, bad_l, da, ebwt, num_reads, num_genomes,
+                          config)
+            if res[0] == "dense":
+                host_mats[fi] = res[1]
+            elif len(res[1]):
+                corr.append((fi, *res[1:]))
 
     # every shard must be at least one halo wide (see shard_fn's guard)
     n_p = max(max(len(p) for p in packs), n_shards * _HALO_L_SPMD)
@@ -501,14 +523,23 @@ def run_sharded(collections, output_path: str, num_reads: int,
     rank_matrix[:, :num_genomes] = lineage.taxids
     valid_t = np.arange(g_pad) < num_genomes
 
+    hostm = None
+    if host_mats:
+        host_dtype = np.uint32 if config.wide_sim else np.uint8
+        hostm = np.zeros((F, num_reads, num_genomes), host_dtype)
+        for fi, mat in host_mats.items():
+            hostm[fi] = mat
+
     step = make_sharded_pipeline(
         mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
         read_len=read_len, alpha=config.alpha, beta=config.beta,
         tax_rank=config.tax_rank, assign_higher=config.assign_higher,
-        wide_sim=config.wide_sim, max_corr=max_corr)
+        wide_sim=config.wide_sim, max_corr=max_corr,
+        dense_corr=hostm is not None)
     types, taxid, sim = step(packed, doc, max(windows), cfile, crows,
                              ccols, cvals, tax, rank_matrix, valid_t,
-                             jnp.float32(config.error_tolerance))
+                             jnp.float32(config.error_tolerance),
+                             hostm=hostm)
     res = ClassifyResult(np.asarray(types)[:num_reads],
                          np.asarray(taxid)[:num_reads],
                          np.asarray(sim)[:num_reads])

@@ -46,6 +46,22 @@ def test_sharded_matches_host_on_standard_dataset(dataset, shape, tmp_path):
         assert f1.read() == f2.read()
 
 
+def test_sharded_density_routing_matches_host(dataset, tmp_path):
+    """Density-routed sharded run (host matrix merged on-mesh) == host."""
+    ds = dataset
+    host_csv = str(tmp_path / "host.csv")
+    run_paired(ds.collections, host_csv, ds.num_reads, ds.num_genomes,
+               ds.lineage_path, ds.read_len, HOST)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    for thresh in (10**9, 3):
+        shard_csv = str(tmp_path / f"shard_{thresh}.csv")
+        run_sharded(ds.collections, shard_csv, ds.num_reads, ds.num_genomes,
+                    ds.lineage_path, ds.read_len,
+                    LimeConfig(dense_threshold=thresh), mesh=mesh)
+        with open(host_csv) as f1, open(shard_csv) as f2:
+            assert f1.read() == f2.read(), f"threshold {thresh}"
+
+
 def test_sharded_higher_matches_host(dataset, tmp_path):
     ds = dataset
     cfg_h = LimeConfig(executor="host", assign_higher=True, tax_rank=1)
