@@ -337,6 +337,8 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
                             int64_t n_wf, int64_t wide, void* sim_out,
                             int64_t threads, int64_t mem_cap) {
   if (n_clusters < 0 || num_reads <= 0 || num_refs <= 0) return -1;
+  for (i64 c = 0; c < n_clusters; c++)
+    if (lens[c] > 65536) return -2;  // reference sizeMaxBuf guard
   const i64 cells = num_reads * num_refs;
   const i64 cell_bytes = wide ? 4 : 1;
   if (threads < 1) threads = 1;
@@ -345,66 +347,152 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
       threads--;
   }
 
-  struct Seg {
-    uint32_t doc;
-    uint32_t h[16];
-    uint32_t count;
-    bool deg;
+  // Per-thread flat scratch sized to the reference's sizeMaxBuf cluster cap
+  // (src/Tools.h:35).  Segments are (cluster, document) groups; histograms
+  // are materialized once per segment as the u8 views the pair loop needs
+  // (read counters wrapped mod 256, genome counters saturated at 255 —
+  // src/ClusterBWT_DA.cpp:96,123), so the hot (read x genome) loop is a
+  // single 16-wide u8 min+sum the compiler vectorizes.
+  constexpr i64 kMaxClu = 65536;
+
+  struct Scratch {
+    std::vector<uint64_t> keys;
+    std::vector<uint32_t> seg_doc;
+    std::vector<uint32_t> seg_cnt;  // raw position count (EBWT=0 variant)
+    std::vector<uint8_t> seg_h8;    // 16 u8 per segment (wrapped/saturated)
+    std::vector<uint32_t> seg_h32;  // raw counts (wide path + waterfall)
+    std::vector<uint8_t> seg_deg;
+    Scratch() {
+      keys.resize(kMaxClu);
+      seg_doc.resize(kMaxClu);
+      seg_cnt.resize(kMaxClu);
+      seg_h8.resize(kMaxClu * 16);
+      seg_h32.resize(kMaxClu * 16);
+      seg_deg.resize(kMaxClu);
+    }
   };
 
-  auto score_range = [&](i64 c_lo, i64 c_hi, void* out) {
-    std::vector<uint64_t> keys;
-    std::vector<Seg> rsegs, gsegs;
+  auto score_range = [&](i64 c_lo, i64 c_hi, void* out, Scratch& sc) {
     uint8_t* out8 = static_cast<uint8_t*>(out);
     uint32_t* out32 = static_cast<uint32_t*>(out);
+    uint64_t* keys = sc.keys.data();
     for (i64 c = c_lo; c < c_hi; c++) {
       const i64 s = starts[c], len = lens[c];
-      keys.clear();
-      keys.reserve(len);
+      if (len > kMaxClu) continue;  // guarded upstream (sizeMaxBuf)
       bool cluster_deg = false;
-      for (i64 j = s; j < s + len; j++) {
-        uint8_t sym = ebwt ? (sym_lut[ebwt[j]] & 15) : 0;
-        if (ebwt && deg_lut[ebwt[j]]) cluster_deg = true;
-        keys.push_back((static_cast<uint64_t>(da[j]) << 4) | sym);
+      if (ebwt) {
+        for (i64 j = 0; j < len; j++) {
+          const uint8_t b = ebwt[s + j];
+          cluster_deg |= deg_lut[b] != 0;
+          keys[j] = (static_cast<uint64_t>(da[s + j]) << 4) |
+                    (sym_lut[b] & 15);
+        }
+      } else {
+        for (i64 j = 0; j < len; j++)
+          keys[j] = static_cast<uint64_t>(da[s + j]) << 4;
       }
-      std::sort(keys.begin(), keys.end());
-      rsegs.clear();
-      gsegs.clear();
-      i64 k = 0;
+      if (len <= 48) {  // insertion sort beats std::sort on tiny clusters
+        for (i64 j = 1; j < len; j++) {
+          uint64_t key = keys[j];
+          i64 k = j - 1;
+          while (k >= 0 && keys[k] > key) {
+            keys[k + 1] = keys[k];
+            k--;
+          }
+          keys[k + 1] = key;
+        }
+      } else {
+        std::sort(keys, keys + len);
+      }
+
+      // Segment walk: reads have smaller doc ids, so read segments come
+      // first; [0, n_rseg) reads, [n_rseg, n_seg) genomes.
+      i64 n_seg = 0, n_rseg = 0, k = 0;
       while (k < len) {
-        uint32_t doc = static_cast<uint32_t>(keys[k] >> 4);
-        Seg seg{};
-        seg.doc = doc;
+        const uint32_t doc = static_cast<uint32_t>(keys[k] >> 4);
+        uint32_t h[16] = {0};
+        uint32_t cnt = 0;
+        uint8_t dg = 0;
         while (k < len && static_cast<uint32_t>(keys[k] >> 4) == doc) {
-          unsigned sym = keys[k] & 15;
-          seg.h[sym]++;
-          seg.count++;
-          if (sym >= 4 && sym <= 14) seg.deg = true;
+          const unsigned sym = keys[k] & 15;
+          h[sym]++;
+          cnt++;
+          dg |= (sym >= 4 && sym <= 14);
           k++;
         }
-        if (doc < static_cast<uint32_t>(num_reads)) {
-          rsegs.push_back(seg);
-        } else {
-          gsegs.push_back(seg);
+        const bool is_read = doc < static_cast<uint32_t>(num_reads);
+        sc.seg_doc[n_seg] = doc;
+        sc.seg_cnt[n_seg] = cnt;
+        sc.seg_deg[n_seg] = dg;
+        uint8_t* h8 = &sc.seg_h8[n_seg * 16];
+        uint32_t* h32 = &sc.seg_h32[n_seg * 16];
+        for (int x = 0; x < 16; x++) {
+          h32[x] = h[x];
+          h8[x] = is_read ? static_cast<uint8_t>(h[x])          // wrap
+                          : static_cast<uint8_t>(h[x] > 255 ? 255 : h[x]);
         }
+        if (is_read) n_rseg++;
+        n_seg++;
       }
-      for (const Seg& r : rsegs) {
-        for (const Seg& g : gsegs) {
+
+      const bool fast8 = !wide && ebwt && !cluster_deg;
+      if (fast8) {
+        // Hot path.  The matrix writes are random (one cache miss each);
+        // computing the cluster's (cell, t) pairs first and issuing the
+        // writes in a tight prefetched loop lets the core overlap the
+        // misses instead of serializing them behind the histogram math.
+        // the pair buffer reuses the (consumed) keys scratch; t enters
+        // mod 256, which is exactly what the u8 accumulate needs
+        i64 np = 0;
+        auto flush = [&]() {
+          for (i64 p = 0; p < np; p++) {
+            if (p + 8 < np)
+              __builtin_prefetch(out8 + (sc.keys[p + 8] >> 8), 1, 1);
+            const i64 cell = static_cast<i64>(sc.keys[p] >> 8);
+            out8[cell] = static_cast<uint8_t>(out8[cell] +
+                                              (sc.keys[p] & 0xFF));
+          }
+          np = 0;
+        };
+        for (i64 ri = 0; ri < n_rseg; ri++) {
+          const i64 base =
+              static_cast<i64>(sc.seg_doc[ri]) * num_refs - num_reads;
+          const uint8_t* rh8 = &sc.seg_h8[ri * 16];
+          if (np + (n_seg - n_rseg) > kMaxClu) flush();
+          for (i64 gi = n_rseg; gi < n_seg; gi++) {
+            const uint8_t* gh8 = &sc.seg_h8[gi * 16];
+            uint32_t t = 0;
+            for (int x = 0; x < 16; x++)
+              t += rh8[x] < gh8[x] ? rh8[x] : gh8[x];
+            sc.keys[np++] = (static_cast<uint64_t>(base + sc.seg_doc[gi])
+                             << 8) | (t & 0xFF);
+          }
+        }
+        flush();
+        continue;
+      }
+      for (i64 ri = 0; ri < n_rseg; ri++) {
+        const uint32_t rdoc = sc.seg_doc[ri];
+        const uint32_t* rh32 = &sc.seg_h32[ri * 16];
+        uint8_t* row8 = out8 + static_cast<i64>(rdoc) * num_refs - num_reads;
+        uint32_t* row32 =
+            out32 + static_cast<i64>(rdoc) * num_refs - num_reads;
+        for (i64 gi = n_rseg; gi < n_seg; gi++) {
+          const uint32_t gdoc = sc.seg_doc[gi];
           uint32_t t = 0;
           if (ebwt) {
+            const uint32_t* gh32 = &sc.seg_h32[gi * 16];
             uint32_t u[16], v[16];
-            bool leftovers = false;
             for (int x = 0; x < 16; x++) {
               // uchar read counters wrap; wide (dataTypeNumSim=1) doesn't
-              uint32_t rh = wide ? r.h[x] : (r.h[x] & 0xFF);
-              uint32_t gh = g.h[x] > 255 ? 255 : g.h[x];  // saturation
+              uint32_t rh = wide ? rh32[x] : (rh32[x] & 0xFF);
+              uint32_t gh = gh32[x] > 255 ? 255 : gh32[x];  // saturation
               uint32_t m = rh < gh ? rh : gh;
               t += m;
               u[x] = rh - m;
               v[x] = gh - m;
-              if (u[x] | v[x]) leftovers = true;
             }
-            if (cluster_deg && leftovers && (r.deg || g.deg)) {
+            if (cluster_deg && (sc.seg_deg[ri] || sc.seg_deg[gi])) {
               for (i64 p = 0; p < n_wf; p++) {
                 const int iA = wf_pairs[2 * p], a = wf_pairs[2 * p + 1];
                 uint32_t va = v[a], ui = u[iA];
@@ -426,16 +514,14 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
               }
             }
           } else {
-            uint32_t rc = wide ? r.count : (r.count & 0xFF);
-            uint32_t gc = g.count > 255 ? 255 : g.count;
+            uint32_t rc = wide ? sc.seg_cnt[ri] : (sc.seg_cnt[ri] & 0xFF);
+            uint32_t gc = sc.seg_cnt[gi] > 255 ? 255 : sc.seg_cnt[gi];
             t = rc < gc ? rc : gc;
           }
-          const i64 cell = static_cast<i64>(r.doc) * num_refs +
-                           (g.doc - num_reads);
           if (wide) {
-            out32[cell] += t;
+            row32[gdoc] += t;
           } else {
-            out8[cell] = static_cast<uint8_t>(out8[cell] + t);
+            row8[gdoc] = static_cast<uint8_t>(row8[gdoc] + t);
           }
         }
       }
@@ -443,7 +529,8 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
   };
 
   if (threads == 1 || n_clusters < 64) {
-    score_range(0, n_clusters, sim_out);
+    Scratch sc;
+    score_range(0, n_clusters, sim_out, sc);
     return 0;
   }
 
@@ -460,10 +547,11 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
       partials[tid - 1].assign(cells * cell_bytes, 0);
       out = partials[tid - 1].data();
     }
+    Scratch sc;
     const i64 chunk = (n_clusters + threads - 1) / threads;
     const i64 lo = tid * chunk;
     const i64 hi = std::min<i64>(n_clusters, lo + chunk);
-    if (lo < hi) score_range(lo, hi, out);
+    if (lo < hi) score_range(lo, hi, out, sc);
   }
   for (auto& part : partials) {
     if (part.empty()) continue;
