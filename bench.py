@@ -1,20 +1,30 @@
 """Benchmark: TPU pipeline classification throughput vs reference C++.
 
-Measures end-to-end reads/s of the three pipeline stages (cluster detection,
-scoring, classification — index construction is shared preprocessing, as in
-the reference where BCR/eGap run separately) on a synthetic paired-end
-workload, against the reference binaries compiled -O2 with 1 thread on this
-host (the reference publishes no numbers of its own — BASELINE.md).
+Two workloads, both synthetic (the reference publishes no numbers of its
+own — BASELINE.md):
 
-Prints exactly one JSON line:
-  {"metric": "classification_throughput", "value": <reads/s>,
-   "unit": "reads/s", "vs_baseline": <speedup over reference C++>}
+- ``example``: 50k read pairs x 6 genomes — the round-1 configuration, the
+  regime where every cluster routes to the TPU banded kernel.
+- ``paper``: 1M read pairs x 930 genomes (the genome count of the
+  reference's simulated benchmark DB, reference Datasets/README.md:35;
+  read count within 20x of setB2, README.md:137) with genus-conserved
+  genome blocks.  At this genome width scoring density-routes to the
+  native SIMD scorer and the TPU carries classification.
+
+The baseline is the reference binaries compiled -O3 (matching the shipped
+Makefile) with 1 thread on this host.  Any output mismatch vs the
+reference is fatal.  The bench also runs the device-mode test subset on
+the real chip and reports memory + achieved streaming bandwidth.
+
+Prints exactly one JSON line; the headline metric is the paper-scale
+throughput.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,10 +33,8 @@ import numpy as np
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 DATA_DIR = os.path.join(ROOT, "build", "bench_data")
+PAPER_DIR = os.path.join(ROOT, "build", "paper_data")
 
-NUM_PAIRS = 50000
-READ_LEN = 100
-GENOME_LENS = (250_000, 220_000, 200_000, 180_000, 160_000, 140_000)
 SEED = 123
 
 
@@ -34,44 +42,69 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _dataset():
-    """Build (or reuse) the benchmark dataset + indexes."""
-    from tests.synth import make_dataset
+def _example_dataset():
+    """50k pairs x 6 genomes (round-1 configuration)."""
+    from tests.synth import SynthDataset, make_dataset
 
+    num_pairs, read_len = 50000, 100
+    genome_lens = (250_000, 220_000, 200_000, 180_000, 160_000, 140_000)
     stamp = os.path.join(
-        DATA_DIR, f"v2_{NUM_PAIRS}_{READ_LEN}_{len(GENOME_LENS)}_{SEED}.ok")
-    meta_files_exist = os.path.exists(stamp)
-    if not meta_files_exist:
-        _log(f"bench: building dataset ({NUM_PAIRS} pairs, "
-             f"{len(GENOME_LENS)} genomes)...")
+        DATA_DIR, f"v2_{num_pairs}_{read_len}_{len(genome_lens)}_{SEED}.ok")
+    if not os.path.exists(stamp):
+        _log(f"bench[example]: building dataset ({num_pairs} pairs)...")
         os.makedirs(DATA_DIR, exist_ok=True)
         t0 = time.time()
-        make_dataset(DATA_DIR, num_pairs=NUM_PAIRS, read_len=READ_LEN,
-                     genome_lens=GENOME_LENS, seed=SEED)
+        make_dataset(DATA_DIR, num_pairs=num_pairs, read_len=read_len,
+                     genome_lens=genome_lens, seed=SEED)
         with open(stamp, "w") as f:
             f.write("ok")
-        _log(f"bench: dataset built in {time.time() - t0:.1f}s")
-    from tests.synth import SynthDataset
+        _log(f"bench[example]: dataset built in {time.time() - t0:.1f}s")
     collections = [os.path.join(DATA_DIR, f"col_{t}.fasta")
                    for t in ("1F", "1RC", "2F", "2RC")]
     return SynthDataset(
         root=DATA_DIR, collections=collections,
         lineage_path=os.path.join(DATA_DIR, "LineageFile.csv"),
-        num_reads=NUM_PAIRS, num_genomes=len(GENOME_LENS),
-        read_len=READ_LEN, genomes=[], reads1=[], reads2=[])
+        num_reads=num_pairs, num_genomes=len(genome_lens),
+        read_len=read_len, genomes=[], reads1=[], reads2=[])
 
 
-def _run_ours(ds, config) -> float:
+def _paper_dataset():
+    """1M pairs x 930 genomes with genus-conserved blocks."""
+    from tests.synth_big import BigDataset, make_big_dataset
+
+    num_pairs, num_genomes, genome_len = 1_000_000, 930, 8000
+    stamp = os.path.join(PAPER_DIR,
+                         f"v1_{num_pairs}_{num_genomes}_{genome_len}.ok")
+    if not os.path.exists(stamp):
+        _log(f"bench[paper]: building dataset ({num_pairs} pairs x "
+             f"{num_genomes} genomes; several minutes, cached)...")
+        t0 = time.time()
+        make_big_dataset(PAPER_DIR, num_pairs=num_pairs,
+                         num_genomes=num_genomes, genome_len=genome_len,
+                         seed=17)
+        with open(stamp, "w") as f:
+            f.write("ok")
+        _log(f"bench[paper]: dataset built in {time.time() - t0:.0f}s")
+    return BigDataset(
+        root=PAPER_DIR,
+        collections=[os.path.join(PAPER_DIR, f"col_{t}.fasta")
+                     for t in ("1F", "1RC", "2F", "2RC")],
+        lineage_path=os.path.join(PAPER_DIR, "LineageFile.csv"),
+        num_reads=num_pairs, num_genomes=num_genomes, read_len=100,
+        positions_per_collection=0)
+
+
+def _run_ours(ds, config, tag) -> float:
     from lime_tpu.pipeline import run_paired
 
-    out = os.path.join(DATA_DIR, "bench_ours.csv")
+    out = os.path.join(ds.root, f"bench_ours_{tag}.csv")
     t0 = time.time()
     run_paired(ds.collections, out, ds.num_reads, ds.num_genomes,
                ds.lineage_path, ds.read_len, config)
     return time.time() - t0
 
 
-def _run_reference(ds) -> float:
+def _run_reference(ds, tag) -> float:
     from tests.oracle import OracleBinaries
 
     oracle = OracleBinaries.build()
@@ -81,9 +114,63 @@ def _run_reference(ds) -> float:
     for c in ds.collections:
         oracle.cluster_bwt(c, ds.read_len, 0.25, threads=1)
     oracle.classify([c + ".res" for c in ds.collections], ds.num_reads,
-                    ds.num_genomes, os.path.join(DATA_DIR, "bench_ref.csv"),
+                    ds.num_genomes, os.path.join(ds.root, f"bench_ref_{tag}.csv"),
                     ds.lineage_path, 1, threads=1)
     return time.time() - t0
+
+
+def _check_outputs(ds, tag) -> None:
+    with open(os.path.join(ds.root, f"bench_ours_{tag}.csv")) as f:
+        ours = f.read()
+    with open(os.path.join(ds.root, f"bench_ref_{tag}.csv")) as f:
+        ref = f.read()
+    if ours != ref:
+        _log(f"bench[{tag}]: FATAL — output mismatch vs reference!")
+        sys.exit(1)
+    _log(f"bench[{tag}]: outputs bit-identical to reference")
+
+
+def _bench_config(ds, config, tag, ref_runs, ours_runs):
+    ref_t = _run_reference(ds, tag)
+    for _ in range(ref_runs - 1):
+        ref_t = min(ref_t, _run_reference(ds, tag))
+    ours_t = _run_ours(ds, config, tag)  # warm (compiles)
+    best = _run_ours(ds, config, tag)
+    for _ in range(ours_runs - 1):
+        best = min(best, _run_ours(ds, config, tag))
+    _check_outputs(ds, tag)
+    index_gb = sum(os.path.getsize(c + ext) for c in ds.collections
+                   for ext in (".lcp", ".da", ".ebwt")) / 1e9
+    res = {
+        "reads_per_s": round(ds.num_reads / best, 1),
+        "ref_reads_per_s": round(ds.num_reads / ref_t, 1),
+        "speedup": round(ref_t / best, 2),
+        "ours_s": round(best, 2),
+        "ref_s": round(ref_t, 2),
+        "index_stream_GBps": round(index_gb / best, 2),
+        "num_reads": ds.num_reads,
+        "num_genomes": ds.num_genomes,
+    }
+    _log(f"bench[{tag}]: ref {ref_t:.2f}s | ours {best:.2f}s | "
+         f"{res['speedup']}x | {res['reads_per_s']:.0f} reads/s | "
+         f"{res['index_stream_GBps']} GB/s of index streamed")
+    return res
+
+
+def _device_tests() -> str:
+    """Run the device-mode test subset on the real chip."""
+    env = dict(os.environ, LIME_TEST_TPU="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_pallas_kernel.py",
+         "tests/test_fused_pipeline.py", "-q", "--no-header", "-x"],
+        capture_output=True, text=True, cwd=ROOT, env=env, timeout=1200)
+    tail = (proc.stdout.strip().splitlines() or ["no output"])[-1]
+    status = "passed" if proc.returncode == 0 else "FAILED"
+    _log(f"bench: device tests {status}: {tail}")
+    if proc.returncode != 0:
+        _log(proc.stdout[-2000:])
+        sys.exit(1)
+    return tail
 
 
 def main() -> None:
@@ -96,54 +183,44 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from lime_tpu.config import LimeConfig
+    from lime_tpu.utils.memory import memory_report
 
     # The first compile+transfer of a process pays a multi-minute device
     # bringup through the axon relay; trigger it in the background while the
     # dataset and reference baseline run on the host CPU.
     def _warm_device():
-        import numpy as _np
-        import jax.numpy as _jnp
-        x = jax.device_put(_np.ones(8, _np.float32))
-        _np.asarray(jax.jit(lambda a: a * 2.0)(x))
+        x = jax.device_put(np.ones(8, np.float32))
+        np.asarray(jax.jit(lambda a: a * 2.0)(x))
         _log("bench: device warm-up complete")
 
     warmer = threading.Thread(target=_warm_device, daemon=True)
     warmer.start()
 
-    ds = _dataset()
-
-    ref_t = _run_reference(ds)  # also warms the page cache
+    ds_small = _example_dataset()
+    ds_paper = _paper_dataset()
     warmer.join()
-
     backend = jax.default_backend()
-    config = LimeConfig(executor="tpu", fused=True)
-    ours_t = _run_ours(ds, config)  # warm run (compiles)
+    _log(f"bench: backend={backend}")
 
-    # The host and the tunneled TPU are both noisy shared resources;
-    # interleave best-of-3 measurements of each side.
-    for i in range(3):
-        ref_t = min(ref_t, _run_reference(ds))
-        ours_t = min(ours_t, _run_ours(ds, config))
-    _log(f"bench: reference C++ (1 thread): {ref_t:.2f}s "
-         f"({ds.num_reads / ref_t:.0f} reads/s)")
-    _log(f"bench: lime-tpu [{backend}]: {ours_t:.2f}s "
-         f"({ds.num_reads / ours_t:.0f} reads/s)")
+    config = LimeConfig(executor="tpu", fused=True, threads=2)
+    example = _bench_config(ds_small, config, "example", ref_runs=2,
+                            ours_runs=2)
+    paper = _bench_config(ds_paper, config, "paper", ref_runs=1,
+                          ours_runs=2)
+    mem = memory_report().replace("\n", "; ")
+    _log(f"bench: memory {mem}")
+    device_tests = _device_tests()
 
-    # sanity: identical outputs
-    with open(os.path.join(DATA_DIR, "bench_ours.csv")) as f:
-        ours = f.read()
-    with open(os.path.join(DATA_DIR, "bench_ref.csv")) as f:
-        ref = f.read()
-    if ours != ref:
-        _log("bench: FATAL — output mismatch vs reference!")
-        sys.exit(1)
-
-    value = ds.num_reads / ours_t
     print(json.dumps({
-        "metric": "classification_throughput",
-        "value": round(value, 1),
+        "metric": "paper_scale_classification_throughput",
+        "value": paper["reads_per_s"],
         "unit": "reads/s",
-        "vs_baseline": round((ds.num_reads / ref_t) and value / (ds.num_reads / ref_t), 3),
+        "vs_baseline": paper["speedup"],
+        "backend": backend,
+        "example": example,
+        "paper": paper,
+        "memory": mem,
+        "device_tests": device_tests,
     }))
 
 

@@ -80,17 +80,25 @@ def available() -> bool:
 def build_index_native(seqs: Sequence[bytes]
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(ebwt, lcp, da) for the merged collection — C++ SA-IS path."""
+    concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    return build_index_native_concat(concat, lens)
+
+
+def build_index_native_concat(concat: np.ndarray, lens: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Array-input variant: all sequences back to back, no terminators."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
-    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
     total = int((lens + 1).sum())
     ebwt = np.empty(total, dtype=np.uint8)
     lcp = np.empty(total, dtype=np.uint32)
     da = np.empty(total, dtype=np.uint32)
     rc = lib.lime_build_index(
-        concat.ctypes.data, lens.ctypes.data, len(seqs),
+        concat.ctypes.data, lens.ctypes.data, len(lens),
         ebwt.ctypes.data, lcp.ctypes.data, da.ctypes.data)
     if rc != 0:
         raise RuntimeError(f"lime_build_index failed: {rc}")

@@ -117,11 +117,18 @@ def _classify_program(sims, crows, ccols, cvals, cfile, tax, rank_matrix,
 
 
 def _dense_threshold_for(num_genomes: int, config: LimeConfig) -> int:
-    """Genome-position threshold for TPU routing (see LimeConfig)."""
+    """Genome-position threshold for TPU routing (see LimeConfig).
+
+    The banded kernel's per-position cost is window * G_pad one-hot lanes,
+    so its economics collapse past ~256 genomes (measured: a 930-genome
+    workload routed to it is ~100x slower than the native scorer).  Until
+    the MXU histogram-matmul path for genome-dense clusters lands, large-G
+    scoring runs entirely on the native scorer and the TPU carries
+    classification.
+    """
     if config.dense_threshold is not None:
         return config.dense_threshold
-    g_pad = _g_pad_for(num_genomes)
-    return 0 if g_pad <= 128 else g_pad // 16
+    return 0 if _g_pad_for(num_genomes) <= 256 else (1 << 62)
 
 
 def _score_small_dense(starts, lens, da, ebwt, n_r, n_g,
@@ -239,6 +246,7 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
         lcp = open_lcp(fasta)
         da = open_da(fasta)
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
+        timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
 
         if native.available():
             packed, doc, _nc, window, bad_start, bad_len = native.plan_native(

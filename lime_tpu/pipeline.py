@@ -59,7 +59,7 @@ def cluster_lcp(fasta_path: str, num_reads: int, num_genomes: int,
     with timer.phase("load"):
         lcp = open_lcp(fasta_path)
         da = open_da(fasta_path)
-    with timer.phase("scan"):
+    with timer.phase("scan", nbytes=8 * len(lcp)):
         # The standalone boundary scan is pure streaming at memory bandwidth
         # with a one-bit carry; the host implementation is optimal for it.
         # The TPU executor's value is in the fused scoring pass, where the

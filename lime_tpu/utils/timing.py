@@ -20,22 +20,40 @@ class PhaseTimer:
     def __init__(self, name: str):
         self.name = name
         self.phases: Dict[str, float] = {}
+        self.bytes: Dict[str, int] = {}
         self._start = time.perf_counter()
 
     @contextlib.contextmanager
-    def phase(self, label: str):
+    def phase(self, label: str, nbytes: int = 0):
+        """Time a phase; ``nbytes`` of data streamed adds a GB/s figure to
+        the report (the roofline view the reference lacks — its per-thread
+        wtime prints give seconds only, src/ClusterLCP.cpp:273-278)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             self.phases[label] = self.phases.get(label, 0.0) + (
                 time.perf_counter() - t0)
+            if nbytes:
+                self.bytes[label] = self.bytes.get(label, 0) + nbytes
+
+    def add_bytes(self, label: str, nbytes: int) -> None:
+        self.bytes[label] = self.bytes.get(label, 0) + nbytes
 
     def total(self) -> float:
         return time.perf_counter() - self._start
 
+    def gbps(self, label: str) -> float:
+        t = self.phases.get(label, 0.0)
+        return (self.bytes.get(label, 0) / 1e9 / t) if t else 0.0
+
     def report(self) -> None:
-        parts = " ".join(f"{k}={v:.3f}s" for k, v in self.phases.items())
+        def fmt(k, v):
+            if k in self.bytes:
+                return f"{k}={v:.3f}s({self.gbps(k):.2f}GB/s)"
+            return f"{k}={v:.3f}s"
+
+        parts = " ".join(fmt(k, v) for k, v in self.phases.items())
         logger.info("%s: %s total=%.3fs", self.name, parts, self.total())
 
 
