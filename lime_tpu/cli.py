@@ -39,6 +39,8 @@ def _config_from(args) -> LimeConfig:
         wide_sim=getattr(args, "wide_sim", False),
         executor=getattr(args, "executor", "tpu"),
         threads=getattr(args, "threads", 1),
+        fused=getattr(args, "fused", False),
+        dense_threshold=getattr(args, "dense_threshold", None),
     )
 
 
@@ -88,9 +90,12 @@ def main(argv=None) -> int:
     _add_common(p, classify=True)
     p.add_argument("--text", action="store_true")
 
-    for name in ("run-paired", "run-single"):
-        p = sub.add_parser(name, help=f"end-to-end {name[4:]} pipeline")
-        n = 4 if name == "run-paired" else 2
+    for name in ("run-paired", "run-single", "run-sharded"):
+        p = sub.add_parser(
+            name, help=("end-to-end SPMD pipeline over a device mesh"
+                        if name == "run-sharded"
+                        else f"end-to-end {name[4:]} pipeline"))
+        n = 2 if name == "run-single" else 4
         p.add_argument("collections", nargs=n,
                        help="1F 1RC 2F 2RC" if n == 4 else "F RC")
         p.add_argument("output")
@@ -103,6 +108,15 @@ def main(argv=None) -> int:
         p.add_argument("--beta", type=float, default=0.25)
         p.add_argument("--tax-rank", type=int, default=1)
         p.add_argument("--keep-results", action="store_true")
+        p.add_argument("--fused", action="store_true",
+                       help="one-dispatch serving path (no .clrs/.res "
+                            "artifacts)")
+        p.add_argument("--dense-threshold", type=int, default=None,
+                       help="genome-position density for TPU routing "
+                            "(default: auto)")
+        if name == "run-sharded":
+            p.add_argument("--devices", type=int, default=None,
+                           help="mesh size (default: all visible devices)")
         _add_common(p, scoring=True, classify=True)
 
     p = sub.add_parser("preprocess",
@@ -180,6 +194,24 @@ def _dispatch(args) -> int:
                keep_results=args.keep_results)
         print(f"C={s.classified} H={s.higher} A={s.ambiguous} "
               f"U={s.unclassified} / {s.num_reads}")
+        return 0
+
+    if args.cmd == "run-sharded":
+        from collections import Counter
+
+        from .parallel import make_mesh, run_sharded
+        from .parallel.multihost import init_distributed
+
+        init_distributed()
+        cfg = _config_from(args).replace(
+            alpha=args.alpha, beta=args.beta, tax_rank=args.tax_rank)
+        mesh = make_mesh(args.devices)
+        res = run_sharded(args.collections, args.output, args.num_reads,
+                          args.num_genomes, args.lineage, args.read_len,
+                          cfg, mesh=mesh)
+        c = res.counts()
+        print(f"mesh {dict(mesh.shape)}: C={c['C']} H={c['H']} "
+              f"A={c['A']} U={c['U']} / {args.num_reads}")
         return 0
 
     if args.cmd == "preprocess":

@@ -22,6 +22,7 @@ algorithm runs on TPU in `lime_tpu.index.tpu_builder`.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -104,6 +105,33 @@ def _lcp_from_history(sa: np.ndarray, history: List[np.ndarray]) -> np.ndarray:
     return lcp
 
 
+def _check_build_memory(total_positions: int, engine: str) -> None:
+    """Fail early with a clear message instead of OOMing mid-build.
+
+    The in-process builders are RAM-bound: the native SA-IS holds ~40
+    bytes/position of i64 temporaries (recursion included), the numpy
+    doubling builder ~8 bytes/position per doubling level (log2(maxlen)
+    levels).  The reference sidesteps this with external-memory tools
+    (eGap --em -m 4096, reference Preprocessing.sh:159-196); collections
+    beyond available RAM should be indexed by those tools and ingested via
+    ``lime-tpu gesa-convert`` (tested interop, tests/test_gesa.py).
+    """
+    per_pos = 40 if engine in ("native", "auto") else 260
+    need = total_positions * per_pos
+    try:
+        avail = (os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+    except (ValueError, OSError):  # pragma: no cover - platform dependent
+        return
+    if need > avail * 0.9:
+        raise MemoryError(
+            f"in-process index build needs ~{need / 1e9:.1f} GB "
+            f"({total_positions / 1e6:.0f}M positions x ~{per_pos} B) but "
+            f"only {avail / 1e9:.1f} GB RAM is available.  Build the index "
+            "with external-memory tools (eGap --em, as the reference's "
+            "Preprocessing.sh does) and ingest it with "
+            "`lime-tpu gesa-convert`, or index on a larger host.")
+
+
 def build_index(seqs: Sequence[bytes], engine: str = "numpy"
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build (ebwt, lcp, da) for the merged collection of ``seqs``.
@@ -114,8 +142,10 @@ def build_index(seqs: Sequence[bytes], engine: str = "numpy"
 
     ``engine``: 'numpy' (portable prefix doubling), 'native' (C++ SA-IS),
     'tpu' (prefix doubling with on-device sorts), or 'auto' (native when a
-    toolchain is available).
+    toolchain is available).  Collections that exceed available RAM raise
+    MemoryError up front (see :func:`_check_build_memory`).
     """
+    _check_build_memory(sum(len(s) + 1 for s in seqs), engine)
     if engine == "tpu":
         from .tpu_builder import build_index_tpu
         return build_index_tpu(seqs)

@@ -61,6 +61,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
             ]
             lib.lime_format_csv.restype = ctypes.c_int64
             lib.lime_format_csv.argtypes = [
@@ -136,7 +137,10 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
     n = len(lcp)
     cap = max(pad_block, -(-n // pad_block) * pad_block)
     packed = np.zeros(cap, dtype=np.uint8)
-    doc = np.full(cap, pad_doc, dtype=np.uint16 if use_u16 else np.uint32)
+    # pad ids are only needed past the compact length; filling the whole
+    # capacity up front costs seconds of first-touch page faults at the
+    # 10^8-position scale, so the pad slice is written after the pass
+    doc = np.empty(cap, dtype=np.uint16 if use_u16 else np.uint32)
     n_clusters_cap = n // 2 + 1
     bad_start = np.empty(n_clusters_cap, dtype=np.int64)
     bad_len = np.empty(n_clusters_cap, dtype=np.int64)
@@ -155,8 +159,8 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
         raise RuntimeError(f"lime_plan failed: {rc}")
     nc, window, nbad = int(meta[0]), int(meta[1]), int(meta[2])
     n_pad = max(pad_block, -(-nc // pad_block) * pad_block)
-    # the prefix past nc was never written by the pass: packed stays zero
-    # and doc stays pad_doc, i.e. the pad is already in place
+    # the packed pad is already zero (calloc); write the doc pad ids now
+    doc[nc:n_pad] = pad_doc
     return (packed[:n_pad], doc[:n_pad], nc, window,
             bad_start[:nbad].copy(), bad_len[:nbad].copy())
 
@@ -190,9 +194,12 @@ def score_clusters_native(starts: np.ndarray, lens: np.ndarray,
     dtype = np.uint32 if wide else np.uint8
     if out is None:
         out = np.zeros((num_reads, num_refs), dtype=dtype)
-    elif out.dtype != dtype or out.shape != (num_reads, num_refs):
-        raise ValueError("out must be (num_reads, num_refs) of the "
-                         f"{dtype} dtype")
+    elif (out.dtype != dtype or out.ndim != 2
+          or out.shape[0] < num_reads or out.shape[1] < num_refs
+          or out.strides[1] != out.itemsize):
+        raise ValueError("out must be a row-contiguous 2D array of the "
+                         f"{dtype} dtype covering (num_reads, num_refs)")
+    row_stride = out.strides[0] // out.itemsize
     if threads <= 0:
         threads = os.cpu_count() or 1
     wf = np.ascontiguousarray(
@@ -204,7 +211,7 @@ def score_clusters_native(starts: np.ndarray, lens: np.ndarray,
         da.ctypes.data, eb_ptr, num_reads, num_refs,
         sym_lut.ctypes.data, deg_lut.ctypes.data,
         wf.ctypes.data, len(wf) // 2, int(wide),
-        out.ctypes.data, threads, mem_cap)
+        out.ctypes.data, threads, mem_cap, row_stride)
     if rc != 0:
         raise RuntimeError(f"lime_score_clusters failed: {rc}")
     return out

@@ -12,7 +12,9 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #ifdef _OPENMP
 #include <omp.h>
@@ -249,21 +251,70 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
                   int64_t* bad_start, int64_t* bad_len, int64_t* meta) {
   if (n <= 0 || (!doc16 && !doc32)) return -1;
   i64 w = 0, nbad = 0, window = 1;
-  i64 p_start = -1, n_g = 0;
-  bool open = false, has_r = false, deg = false;
+  const bool prof = std::getenv("LIME_PLAN_PROF") != nullptr;
+  auto now = [] {
+    timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+  };
+  double t0 = prof ? now() : 0;
 
-  auto close = [&](i64 end) {
-    if (has_r && n_g > 0) {
-      i64 len = end - p_start;
+  // Vectorized scan: a per-position branchy state machine runs at
+  // ~0.2 GB/s (branch mispredicts), far below memory bandwidth.  Instead:
+  // (A) build the in-run byte mask in one auto-vectorized pass, (B) count
+  // mask transitions, (C) collect transition indices with a branchless
+  // always-store loop.  Since the mask starts at 0, transitions alternate
+  // run-start / run-end, so the collected list IS the run list.
+  std::vector<uint8_t> m(n);
+  for (i64 i = 0; i < n; i++) m[i] = lcp[i] >= alpha;
+  // position 0 can never open or continue a run (the reference's
+  // skip-leading rule, src/ClusterLCP.cpp:196-202)
+  m[0] = 0;
+  if (prof) { fprintf(stderr, "[plan] mask %.3fs\n", now() - t0); t0 = now(); }
+  i64 n_tr = 0;
+  for (i64 i = 1; i < n; i++) n_tr += m[i] ^ m[i - 1];
+  std::vector<uint32_t> tr(n_tr + 1);
+  {
+    i64 k = 0;
+    uint32_t* trp = tr.data();
+    for (i64 i = 1; i < n; i++) {
+      trp[k] = static_cast<uint32_t>(i);
+      k += m[i] ^ m[i - 1];
+    }
+    if (m[n - 1]) tr[k++] = static_cast<uint32_t>(n);
+    n_tr = k;
+  }
+  if (prof) {
+    fprintf(stderr, "[plan] transitions %.3fs (n_tr=%lld)\n", now() - t0,
+            static_cast<long long>(n_tr));
+    t0 = now();
+  }
+  const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
+
+  for (i64 p = 0; p + 1 < n_tr; p += 2) {
+    const i64 s = tr[p], e = tr[p + 1];
+    const i64 ps = s - 1;  // cluster rows = run extended one row left
+    const i64 len = e - ps;
+
+    i64 nr = 0;
+    for (i64 j = ps; j < e; j++) nr += da[j] < nr_u32;
+    const i64 n_g = len - nr;
+    if (nr > 0 && n_g > 0) {  // membership filter (src/ClusterLCP.cpp:220)
+      bool deg = false;
+      if (ebwt) {
+        uint8_t acc = 0;
+        for (i64 j = ps; j < e; j++) acc |= deg_lut[ebwt[j]];
+        deg = acc != 0;
+      }
       if (len > 255 || deg || n_g < g_dense) {
-        bad_start[nbad] = p_start;
+        bad_start[nbad] = ps;
         bad_len[nbad] = len;
         nbad++;
       } else {
         if (len > window) window = len;
-        for (i64 j = p_start; j < end; j++) {
+        for (i64 j = ps; j < e; j++) {
           uint8_t sym = ebwt ? (sym_lut[ebwt[j]] & 15) : 0;
-          packed[w] = sym | static_cast<uint8_t>((j > p_start) ? 0x40 : 0);
+          packed[w] = sym | static_cast<uint8_t>((j > ps) ? 0x40 : 0);
           if (doc16) {
             doc16[w] = static_cast<uint16_t>(da[j]);
           } else {
@@ -273,32 +324,9 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
         }
       }
     }
-    open = false;
-  };
-
-  // position 0 can never open a cluster (the reference's skip-leading rule,
-  // src/ClusterLCP.cpp:196-202)
-  for (i64 i = 1; i < n; i++) {
-    if (lcp[i] >= alpha) {
-      if (!open) {
-        open = true;
-        p_start = i - 1;
-        has_r = da[p_start] < static_cast<uint32_t>(num_reads);
-        n_g = has_r ? 0 : 1;
-        deg = ebwt && deg_lut[ebwt[p_start]];
-      }
-      if (da[i] < static_cast<uint32_t>(num_reads)) {
-        has_r = true;
-      } else {
-        n_g++;
-      }
-      if (ebwt && deg_lut[ebwt[i]]) deg = true;
-    } else if (open) {
-      close(i);
-    }
   }
-  if (open) close(n);
 
+  if (prof) fprintf(stderr, "[plan] runs %.3fs\n", now() - t0);
   meta[0] = w;
   meta[1] = window;
   meta[2] = nbad;
@@ -335,8 +363,11 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
                             int64_t num_refs, const uint8_t* sym_lut,
                             const uint8_t* deg_lut, const int32_t* wf_pairs,
                             int64_t n_wf, int64_t wide, void* sim_out,
-                            int64_t threads, int64_t mem_cap) {
+                            int64_t threads, int64_t mem_cap,
+                            int64_t row_stride) {
   if (n_clusters < 0 || num_reads <= 0 || num_refs <= 0) return -1;
+  if (row_stride <= 0) row_stride = num_refs;
+  if (row_stride < num_refs) return -3;
   for (i64 c = 0; c < n_clusters; c++)
     if (lens[c] > 65536) return -2;  // reference sizeMaxBuf guard
   const i64 cells = num_reads * num_refs;
@@ -372,7 +403,8 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
     }
   };
 
-  auto score_range = [&](i64 c_lo, i64 c_hi, void* out, Scratch& sc) {
+  auto score_range = [&](i64 c_lo, i64 c_hi, void* out, Scratch& sc,
+                         i64 stride) {
     uint8_t* out8 = static_cast<uint8_t*>(out);
     uint32_t* out32 = static_cast<uint32_t*>(out);
     uint64_t* keys = sc.keys.data();
@@ -407,6 +439,7 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
 
       // Segment walk: reads have smaller doc ids, so read segments come
       // first; [0, n_rseg) reads, [n_rseg, n_seg) genomes.
+      const bool fast8 = !wide && ebwt && !cluster_deg;
       i64 n_seg = 0, n_rseg = 0, k = 0;
       while (k < len) {
         const uint32_t doc = static_cast<uint32_t>(keys[k] >> 4);
@@ -422,20 +455,19 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
         }
         const bool is_read = doc < static_cast<uint32_t>(num_reads);
         sc.seg_doc[n_seg] = doc;
-        sc.seg_cnt[n_seg] = cnt;
-        sc.seg_deg[n_seg] = dg;
         uint8_t* h8 = &sc.seg_h8[n_seg * 16];
-        uint32_t* h32 = &sc.seg_h32[n_seg * 16];
-        for (int x = 0; x < 16; x++) {
-          h32[x] = h[x];
+        for (int x = 0; x < 16; x++)
           h8[x] = is_read ? static_cast<uint8_t>(h[x])          // wrap
                           : static_cast<uint8_t>(h[x] > 255 ? 255 : h[x]);
+        if (!fast8) {  // the hot path never reads these
+          sc.seg_cnt[n_seg] = cnt;
+          sc.seg_deg[n_seg] = dg;
+          uint32_t* h32 = &sc.seg_h32[n_seg * 16];
+          for (int x = 0; x < 16; x++) h32[x] = h[x];
         }
         if (is_read) n_rseg++;
         n_seg++;
       }
-
-      const bool fast8 = !wide && ebwt && !cluster_deg;
       if (fast8) {
         // Hot path.  The matrix writes are random (one cache miss each);
         // computing the cluster's (cell, t) pairs first and issuing the
@@ -456,7 +488,7 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
         };
         for (i64 ri = 0; ri < n_rseg; ri++) {
           const i64 base =
-              static_cast<i64>(sc.seg_doc[ri]) * num_refs - num_reads;
+              static_cast<i64>(sc.seg_doc[ri]) * stride - num_reads;
           const uint8_t* rh8 = &sc.seg_h8[ri * 16];
           if (np + (n_seg - n_rseg) > kMaxClu) flush();
           for (i64 gi = n_rseg; gi < n_seg; gi++) {
@@ -474,9 +506,9 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
       for (i64 ri = 0; ri < n_rseg; ri++) {
         const uint32_t rdoc = sc.seg_doc[ri];
         const uint32_t* rh32 = &sc.seg_h32[ri * 16];
-        uint8_t* row8 = out8 + static_cast<i64>(rdoc) * num_refs - num_reads;
+        uint8_t* row8 = out8 + static_cast<i64>(rdoc) * stride - num_reads;
         uint32_t* row32 =
-            out32 + static_cast<i64>(rdoc) * num_refs - num_reads;
+            out32 + static_cast<i64>(rdoc) * stride - num_reads;
         for (i64 gi = n_rseg; gi < n_seg; gi++) {
           const uint32_t gdoc = sc.seg_doc[gi];
           uint32_t t = 0;
@@ -530,7 +562,7 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
 
   if (threads == 1 || n_clusters < 64) {
     Scratch sc;
-    score_range(0, n_clusters, sim_out, sc);
+    score_range(0, n_clusters, sim_out, sc, row_stride);
     return 0;
   }
 
@@ -551,19 +583,24 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
     const i64 chunk = (n_clusters + threads - 1) / threads;
     const i64 lo = tid * chunk;
     const i64 hi = std::min<i64>(n_clusters, lo + chunk);
-    if (lo < hi) score_range(lo, hi, out, sc);
+    if (lo < hi)
+      score_range(lo, hi, out, sc, tid > 0 ? num_refs : row_stride);
   }
   for (auto& part : partials) {
     if (part.empty()) continue;
     if (wide) {
       uint32_t* dst = static_cast<uint32_t*>(sim_out);
       const uint32_t* src = reinterpret_cast<const uint32_t*>(part.data());
-      for (i64 x = 0; x < cells; x++) dst[x] += src[x];
+      for (i64 r = 0; r < num_reads; r++)
+        for (i64 g = 0; g < num_refs; g++)
+          dst[r * row_stride + g] += src[r * num_refs + g];
     } else {
       uint8_t* dst = static_cast<uint8_t*>(sim_out);
       const uint8_t* src = part.data();
-      for (i64 x = 0; x < cells; x++)
-        dst[x] = static_cast<uint8_t>(dst[x] + src[x]);
+      for (i64 r = 0; r < num_reads; r++)
+        for (i64 g = 0; g < num_refs; g++)
+          dst[r * row_stride + g] = static_cast<uint8_t>(
+              dst[r * row_stride + g] + src[r * num_refs + g]);
     }
   }
   return 0;

@@ -205,17 +205,56 @@ def _rescue(bad_start, bad_len, da, ebwt, num_reads: int, num_genomes: int,
     return ("dense", mat)
 
 
-@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _add_host_matrix(sim, host):
-    """sim[:R, :G] += host on device (int add wraps like uchar counters)."""
-    return sim.at[:host.shape[0], :host.shape[1]].add(
-        host.astype(sim.dtype))
+    """Same-shape device add (int add wraps like the uchar counters)."""
+    return sim + host
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_files", "tax_rank", "assign_higher", "is_mod"),
+    donate_argnums=(0,))
+def _classify_host_block(blk, tax, rank_matrix, valid_t, error, norm, beta,
+                         num_files: int, tax_rank: int, assign_higher: bool,
+                         is_mod: bool):
+    """One read block of the streamed classify (host-resident scores)."""
+    F, b, g_pad = blk.shape
+    x = (blk.astype(jnp.uint8) if is_mod else blk).astype(jnp.float32)
+    norm_rows = x / norm
+    rowmax = jnp.max(norm_rows, axis=2)
+    qualify = rowmax > beta
+    dense = jnp.transpose(
+        jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
+    maxs = jnp.where(qualify, rowmax, 0.0).T
+    from .classify_tpu import cascade_core
+
+    return cascade_core(dense, maxs, tax, rank_matrix, valid_t, error,
+                        num_files, tax_rank, assign_higher)
 
 
 def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
               lineage: Lineage, read_len: int, config: LimeConfig,
               ) -> ClassifyResult:
-    """Async-pipelined classification over 2 or 4 collection indexes."""
+    """Async-pipelined classification over 2 or 4 collection indexes.
+
+    Set ``LIME_PROFILE_DIR`` to capture a jax profiler trace of the run
+    (the TPU-era replacement for the reference's per-thread wtime prints,
+    src/ClusterBWT_DA.cpp:664-669).
+    """
+    import contextlib
+    import os
+
+    prof_dir = os.environ.get("LIME_PROFILE_DIR")
+    ctx = (jax.profiler.trace(prof_dir) if prof_dir
+           else contextlib.nullcontext())
+    with ctx:
+        return _run_fused_inner(collections, num_reads, num_genomes,
+                                lineage, read_len, config)
+
+
+def _run_fused_inner(collections, num_reads, num_genomes, lineage,
+                     read_len, config) -> ClassifyResult:
     timer = PhaseTimer("fused_pipeline")
     F = len(collections)
     if F not in (2, 4):
@@ -223,33 +262,37 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
 
     use_u16 = (num_reads + num_genomes) < 0xFFFF
     r_pad = _r_pad_for(num_reads)
+    g_pad = _g_pad_for(num_genomes)
     block = _classify_block_for(num_reads)
     wide = bool(config.wide_sim)
     g_dense = _dense_threshold_for(num_genomes, config)
-    sims_dev = []
+    host_dtype = np.uint32 if wide else np.uint8
+    dev_dtype = jnp.int32 if wide else jnp.int8
+    sims_dev = [None] * F
+    stacked = None  # lazy (F, r_pad, g_pad) host-scored matrices
     corr = []  # (file, rows, cols, vals) per rescued collection
 
-    def plan(fasta):
-        """Host planning for one collection (runs in a worker thread).
+    def load(fasta):
+        lcp = open_lcp(fasta)
+        da = open_da(fasta)
+        ebwt = open_ebwt(fasta) if config.use_ebwt else None
+        return lcp, da, ebwt
+
+    def plan(arrays):
+        """Plan one collection.
 
         The device stream is *compacted*: only positions of clusters that
         contain both a read and a genome symbol (the reference's membership
         filter, src/ClusterLCP.cpp:220) and that the banded kernel can score
-        exactly survive.  Dropping a whole cluster removes its pairs in one
-        stroke, and empty/one-sided clusters score zero by construction —
-        so compaction shrinks uplink bytes, kernel positions and scatter
-        rows alike (to ~40% of the raw stream on typical workloads) without
-        changing a single emitted pair.  Cluster boundaries in the compact
-        stream are encoded in the run-mask bit itself (a cluster's first
-        row carries m=0), so adjacent clusters never band-match each other.
+        efficiently survive (density routing — see _dense_threshold_for).
+        Cluster boundaries in the compact stream are encoded in the
+        run-mask bit itself (a cluster's first row carries m=0), so
+        adjacent clusters never band-match each other.
         """
-        lcp = open_lcp(fasta)
-        da = open_da(fasta)
-        ebwt = open_ebwt(fasta) if config.use_ebwt else None
+        lcp, da, ebwt = arrays
         timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
-
         if native.available():
-            packed, doc, _nc, window, bad_start, bad_len = native.plan_native(
+            packed, doc, nc, window, bad_start, bad_len = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16, pad_block=_BLOCK,
                 pad_doc=num_reads + num_genomes, g_dense=g_dense)
@@ -258,73 +301,150 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
             # the banded kernel cannot express route to the host
             packed, doc, window, bad_start, bad_len = _plan_python(
                 lcp, da, ebwt, num_reads, num_genomes, config, use_u16)
-        rescue = None
-        if len(bad_start):
-            rescue = lambda: _rescue(  # noqa: E731
-                bad_start, bad_len, da, ebwt, num_reads, num_genomes, config)
-        return packed, doc, window, rescue
-
-    def plan_and_dispatch(fasta):
-        """Plan + upload + async device dispatch, all in the worker thread —
-        each collection's upload and kernel overlap the others' planning,
-        and its own host rescue scoring overlaps its device compute."""
-        packed, doc, window, rescue = plan(fasta)
-        sim_dev = _score_program(jax.device_put(packed), jax.device_put(doc),
-                                 jnp.int32(window), num_reads, num_genomes,
-                                 r_pad, wide)
-        return sim_dev, rescue() if rescue is not None else None
+            nc = 1
+        return packed, doc, nc, window, bad_start, bad_len
 
     with timer.phase("score"):
-        from concurrent.futures import ThreadPoolExecutor
+        import threading
 
-        with ThreadPoolExecutor(max_workers=min(F, 4)) as pool:
-            futures = [pool.submit(plan_and_dispatch, c)
-                       for c in collections]
-            for fi, fut in enumerate(futures):
-                sim_dev, res = fut.result()
-                if res is None:
-                    pass
-                elif res[0] == "dense":
-                    sim_dev = _add_host_matrix(sim_dev, jnp.asarray(res[1]))
-                elif len(res[1]):
-                    corr.append((fi, *res[1:]))
-                sims_dev.append(sim_dev)
+        # One-ahead IO prefetch: the next collection's index loads from
+        # disk while this one plans (C++, GIL released) and host-scores
+        # (OpenMP) — the reference pays the same IO strictly serially.
+        nxt = {}
 
-    with timer.phase("classify"):
-        g_pad = _g_pad_for(num_genomes)
+        def prefetch(fi):
+            nxt[fi] = load(collections[fi])
+
+        th = None
+        with timer.phase("load"):
+            arrays = load(collections[0])
+        for fi in range(F):
+            if fi > 0:
+                with timer.phase("load"):
+                    th.join()
+                arrays = nxt.pop(fi)
+            if fi + 1 < F:
+                th = threading.Thread(target=prefetch, args=(fi + 1,))
+                th.start()
+            with timer.phase("plan"):
+                packed, doc, nc, window, bad_start, bad_len = plan(arrays)
+            if nc:
+                # async device dispatch; compute overlaps the next
+                # iterations' planning and host scoring
+                with timer.phase("dispatch"):
+                    sims_dev[fi] = _score_program(
+                        jax.device_put(packed), jax.device_put(doc),
+                        jnp.int32(window), num_reads, num_genomes, r_pad,
+                        wide)
+            if len(bad_start):
+                _, da, ebwt = arrays
+                total = int(np.asarray(bad_len, np.int64).sum())
+                with timer.phase("host_score", nbytes=total * 5):
+                    if ((total <= _COO_POSITION_CAP
+                         and total < num_reads * num_genomes // 16)
+                            or not native.available()):
+                        rows, cols, vals = _rescue_sparse(
+                            bad_start, bad_len, da, ebwt, num_reads,
+                            num_genomes, config)
+                        if len(rows):
+                            corr.append((fi, rows, cols, vals))
+                    else:
+                        # score straight into this file's padded row block —
+                        # the buffer uploads to the device as-is (no repack)
+                        if stacked is None:
+                            stacked = np.zeros((F, r_pad, g_pad),
+                                               host_dtype)
+                            host_used = set()
+                        from ..constants import IUPAC_WATERFALL_PAIRS
+
+                        native.score_clusters_native(
+                            np.asarray(bad_start, np.int64),
+                            np.asarray(bad_len, np.int64), np.asarray(da),
+                            None if ebwt is None else np.asarray(ebwt),
+                            num_reads, num_genomes, SYMBOL_RANK_LUT,
+                            _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
+                            wide=wide, threads=0, out=stacked[fi])
+                        host_used.add(fi)
+            arrays = None
+
+        # ship host-scored matrices as per-file 2D transfers: this relay
+        # moves ~1 GB 2D arrays at full tunnel bandwidth but one
+        # multi-GB buffer at ~0.1 GB/s (measured)
+    with timer.phase("classify",
+                     nbytes=0 if stacked is None else stacked.nbytes):
+        view_dtype = np.int32 if wide else np.int8
         tax = np.zeros(g_pad, np.uint32)
         tax[:num_genomes] = lineage.at_rank(config.tax_rank)
         rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
         rank_matrix[:, :num_genomes] = lineage.taxids
         valid_t = np.arange(g_pad) < num_genomes
         norm = jnp.float32(np.uint32(read_len + 1 - config.alpha))
+        error = jnp.float32(config.error_tolerance)
+        beta = jnp.float32(config.beta)
 
-        if corr:
-            cfile = np.concatenate(
-                [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
-            crows = np.concatenate([r for _, r, _, _ in corr])
-            ccols = np.concatenate([c for _, _, c, _ in corr])
-            cvals = np.concatenate([v for _, _, _, v in corr])
-            # bucket-pad to limit recompiles; padded entries carry an
-            # out-of-range file index and scatter in 'drop' mode
-            k = max(256, 1 << int(np.ceil(np.log2(len(cfile)))))
-            pad = k - len(cfile)
-            cfile = np.pad(cfile, (0, pad), constant_values=F)
-            crows = np.pad(crows, (0, pad))
-            ccols = np.pad(ccols, (0, pad))
-            cvals = np.pad(cvals, (0, pad))
+        if stacked is not None and all(s is None for s in sims_dev):
+            # Scoring lived on the host (density routing at large G):
+            # stream the classify in read blocks — small pipelined 2D
+            # uploads + a per-block cascade — instead of materializing the
+            # full (F, R_pad, G_pad) stack in HBM.  COO corrections fold
+            # into the host matrices first (u8 add wraps like the
+            # reference's uchar counters).
+            for fi, rows, cols, vals in corr:
+                np.add.at(stacked[fi], (rows, cols),
+                          (vals % 256).astype(host_dtype) if not wide
+                          else vals.astype(host_dtype))
+            taxd = jnp.asarray(tax)
+            rankd = jnp.asarray(rank_matrix)
+            validd = jnp.asarray(valid_t)
+            outs = []
+            for lo in range(0, r_pad, block):
+                blk = jnp.stack([
+                    jnp.asarray(stacked[fi][lo:lo + block].view(view_dtype))
+                    for fi in range(F)])
+                outs.append(_classify_host_block(
+                    blk, taxd, rankd, validd, error, norm, beta, F,
+                    config.tax_rank, config.assign_higher, not wide))
+            types = np.concatenate([np.asarray(o[0]) for o in outs])
+            taxid = np.concatenate([np.asarray(o[1]) for o in outs])
+            sim = np.concatenate([np.asarray(o[2]) for o in outs])
         else:
-            cfile = np.empty(0, np.int32)
-            crows = ccols = np.empty(0, np.int32)
-            cvals = np.empty(0, np.int32)
+            for fi in range(F):
+                host = (jnp.asarray(stacked[fi].view(view_dtype))
+                        if stacked is not None and fi in host_used
+                        else None)
+                if sims_dev[fi] is None:
+                    sims_dev[fi] = (host if host is not None
+                                    else jnp.zeros((r_pad, g_pad),
+                                                   dev_dtype))
+                elif host is not None:
+                    sims_dev[fi] = _add_host_matrix(sims_dev[fi], host)
+            sims_all = jnp.stack(sims_dev)
 
-        types, taxid, sim = _classify_program(
-            jnp.stack(sims_dev), jnp.asarray(crows), jnp.asarray(ccols),
-            jnp.asarray(cvals), jnp.asarray(cfile), jnp.asarray(tax),
-            jnp.asarray(rank_matrix), jnp.asarray(valid_t),
-            jnp.float32(config.error_tolerance), norm,
-            jnp.float32(config.beta), F, config.tax_rank,
-            config.assign_higher, not wide, block)
+            if corr:
+                cfile = np.concatenate(
+                    [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
+                crows = np.concatenate([r for _, r, _, _ in corr])
+                ccols = np.concatenate([c for _, _, c, _ in corr])
+                cvals = np.concatenate([v for _, _, _, v in corr])
+                # bucket-pad to limit recompiles; padded entries carry an
+                # out-of-range file index and scatter in 'drop' mode
+                k = max(256, 1 << int(np.ceil(np.log2(len(cfile)))))
+                pad = k - len(cfile)
+                cfile = np.pad(cfile, (0, pad), constant_values=F)
+                crows = np.pad(crows, (0, pad))
+                ccols = np.pad(ccols, (0, pad))
+                cvals = np.pad(cvals, (0, pad))
+            else:
+                cfile = np.empty(0, np.int32)
+                crows = ccols = np.empty(0, np.int32)
+                cvals = np.empty(0, np.int32)
+
+            types, taxid, sim = _classify_program(
+                sims_all, jnp.asarray(crows), jnp.asarray(ccols),
+                jnp.asarray(cvals), jnp.asarray(cfile), jnp.asarray(tax),
+                jnp.asarray(rank_matrix), jnp.asarray(valid_t),
+                error, norm, beta, F, config.tax_rank,
+                config.assign_higher, not wide, block)
         result = ClassifyResult(np.asarray(types)[:num_reads],
                                 np.asarray(taxid)[:num_reads],
                                 np.asarray(sim)[:num_reads])
