@@ -60,6 +60,12 @@ class LimeConfig:
     # of hits, so it only wins when many genome lanes actually hit).
     # None = auto: 0 (everything TPU) while G_pad <= 128, else G_pad // 16.
     dense_threshold: Optional[int] = None
+    # MXU histogram-matmul routing (large-G regime): pure-ACGT clusters with
+    # at least this many genome positions score on the MXU as batched
+    # indicator-feature matmuls (ops/dense_score.py) instead of the host
+    # scorer.  None = auto: disabled while the banded kernel covers the
+    # genome width (G_pad <= 256), else 16.  0 disables.
+    mxu_dense_min: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.executor not in ("tpu", "host"):

@@ -49,10 +49,23 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.lime_plan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
-                ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.lime_plan_dense.restype = ctypes.c_int64
+            lib.lime_plan_dense.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.lime_score_clusters.restype = ctypes.c_int64
             lib.lime_score_clusters.argtypes = [
@@ -110,20 +123,25 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
                 num_reads: int, alpha: int, sym_lut: np.ndarray,
                 deg_lut: np.ndarray, use_u16: bool,
                 pad_block: int = 1, pad_doc: int = 0, g_dense: int = 0,
+                dense_min: int = 0,
                 ) -> Tuple[np.ndarray, np.ndarray, int, int,
-                           np.ndarray, np.ndarray]:
+                           np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One C++ pass: alpha-cluster scan + membership filter + routing.
 
-    Returns ``(packed, doc, n_compact, window, bad_start, bad_len)`` where
-    packed/doc are the compacted banded-kernel stream padded to the next
-    ``pad_block`` multiple (doc padding = ``pad_doc``, written at allocation
-    so no post-pass pad copy is needed) and bad_start/bad_len list the
-    clusters routed to the host scorer: IUPAC-degenerate, longer than 255,
-    or with fewer than ``g_dense`` genome positions (density routing — the
-    TPU one-hot kernel pays window*G_pad lanes per position regardless of
-    hits, so genome-sparse clusters run faster through
-    :func:`score_clusters_native`).  Releases the GIL for the whole pass,
-    so collections plan in parallel from Python threads.
+    Returns ``(packed, doc, n_compact, window, bad_start, bad_len,
+    dense_start, dense_len)`` where packed/doc are the compacted
+    banded-kernel stream padded to the next ``pad_block`` multiple (doc
+    padding = ``pad_doc``, written at allocation so no post-pass pad copy
+    is needed) and bad_start/bad_len list the clusters routed to the host
+    scorer: IUPAC-degenerate, longer than 255, or with fewer than
+    ``g_dense`` genome positions (density routing — the TPU one-hot kernel
+    pays window*G_pad lanes per position regardless of hits, so
+    genome-sparse clusters run faster through
+    :func:`score_clusters_native`).  When ``dense_min > 0``, pure-ACGT
+    clusters with at least that many genome positions are listed in
+    dense_start/dense_len instead — the MXU histogram-matmul class (see
+    :func:`plan_dense`).  Releases the GIL for the whole pass, so
+    collections plan in parallel from Python threads.
     """
     lib = _load()
     if lib is None:
@@ -144,25 +162,90 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
     n_clusters_cap = n // 2 + 1
     bad_start = np.empty(n_clusters_cap, dtype=np.int64)
     bad_len = np.empty(n_clusters_cap, dtype=np.int64)
-    meta = np.zeros(3, dtype=np.int64)
+    if dense_min > 0:
+        dense_start = np.empty(n_clusters_cap, dtype=np.int64)
+        dense_len = np.empty(n_clusters_cap, dtype=np.int64)
+        ds_ptr, dl_ptr = dense_start.ctypes.data, dense_len.ctypes.data
+    else:
+        dense_start = dense_len = np.empty(0, dtype=np.int64)
+        ds_ptr = dl_ptr = 0
+    meta = np.zeros(4, dtype=np.int64)
     sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
     deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
     rc = lib.lime_plan(
         lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
-        g_dense,
+        g_dense, dense_min,
         sym_lut.ctypes.data, deg_lut.ctypes.data,
         packed.ctypes.data,
         doc.ctypes.data if use_u16 else 0,
         0 if use_u16 else doc.ctypes.data,
-        bad_start.ctypes.data, bad_len.ctypes.data, meta.ctypes.data)
+        bad_start.ctypes.data, bad_len.ctypes.data,
+        ds_ptr, dl_ptr, meta.ctypes.data)
     if rc != 0:
         raise RuntimeError(f"lime_plan failed: {rc}")
-    nc, window, nbad = int(meta[0]), int(meta[1]), int(meta[2])
+    nc, window, nbad, ndense = (int(meta[0]), int(meta[1]), int(meta[2]),
+                                int(meta[3]))
     n_pad = max(pad_block, -(-nc // pad_block) * pad_block)
     # the packed pad is already zero (calloc); write the doc pad ids now
     doc[nc:n_pad] = pad_doc
     return (packed[:n_pad], doc[:n_pad], nc, window,
-            bad_start[:nbad].copy(), bad_len[:nbad].copy())
+            bad_start[:nbad].copy(), bad_len[:nbad].copy(),
+            dense_start[:ndense].copy(), dense_len[:ndense].copy())
+
+
+def plan_dense(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,
+               ebwt: np.ndarray | None, num_reads: int, num_docs: int,
+               sym_lut: np.ndarray, K: int = 8, PR: int = 8,
+               max_ent: int = 256):
+    """Emit the MXU histogram-matmul streams for genome-dense clusters.
+
+    Returns ``(rid, cmap, rb, rpf, gcl, ggf, ent_off, rt_off, gt_off,
+    valid)``: per-entry read-lane tables + cluster map, read/genome feature
+    triples, per-cluster CSR offsets into each stream, and a per-cluster
+    validity mask (invalid clusters emitted nothing and must route to the
+    exact host scorer).  See lime_plan_dense in csrc for the identity and
+    the emission format.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n_clusters = len(starts)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    eb_ptr = 0
+    if ebwt is not None:
+        ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
+        eb_ptr = ebwt.ctypes.data
+    sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    ent_cap = int(np.minimum(max_ent, -(-lens // PR)).sum()) + 1
+    trip_cap = int(lens.sum()) + 1
+    rid = np.empty(ent_cap * PR, dtype=np.int32)
+    cmap = np.empty(ent_cap, dtype=np.int32)
+    rb = np.empty(trip_cap, dtype=np.int32)
+    rpf = np.empty(trip_cap, dtype=np.int16)
+    gcl = np.empty(trip_cap, dtype=np.int32)
+    ggf = np.empty(trip_cap, dtype=np.int32)
+    ent_off = np.empty(n_clusters + 1, dtype=np.int64)
+    rt_off = np.empty(n_clusters + 1, dtype=np.int64)
+    gt_off = np.empty(n_clusters + 1, dtype=np.int64)
+    valid = np.zeros(n_clusters, dtype=np.uint8)
+    meta = np.zeros(3, dtype=np.int64)
+    rc = lib.lime_plan_dense(
+        starts.ctypes.data, lens.ctypes.data, n_clusters,
+        da.ctypes.data, eb_ptr, num_reads, num_docs, sym_lut.ctypes.data,
+        K, PR, max_ent,
+        rid.ctypes.data, cmap.ctypes.data,
+        rb.ctypes.data, rpf.ctypes.data,
+        gcl.ctypes.data, ggf.ctypes.data,
+        ent_off.ctypes.data, rt_off.ctypes.data, gt_off.ctypes.data,
+        valid.ctypes.data, meta.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f"lime_plan_dense failed: {rc}")
+    ne, nrt, ngt = int(meta[0]), int(meta[1]), int(meta[2])
+    return (rid[:ne * PR].reshape(ne, PR), cmap[:ne], rb[:nrt], rpf[:nrt],
+            gcl[:ngt], ggf[:ngt], ent_off, rt_off, gt_off,
+            valid.astype(bool))
 
 
 def score_clusters_native(starts: np.ndarray, lens: np.ndarray,

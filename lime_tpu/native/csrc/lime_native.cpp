@@ -235,22 +235,31 @@ int64_t lime_build_index(const uint8_t* concat, const int64_t* seq_lens,
 //   lcp/da      — index arrays, n positions
 //   ebwt        — may be null (document-only scoring, reference EBWT=0)
 //   g_dense     — minimum genome positions for TPU routing (0 = always TPU)
+//   dense_min   — when > 0, pure-ACGT clusters with >= dense_min genome
+//                 positions route to a third class: the MXU histogram-matmul
+//                 device path (lime_plan_dense below), which handles any
+//                 length up to sizeMaxBuf — the large-G regime where neither
+//                 the banded kernel nor the host scorer is economical
 //   sym_lut     — 256-entry symbol-rank table (low 4 bits used)
 //   deg_lut     — 256-entry IUPAC-degenerate indicator
 //   packed      — compacted stream bytes, capacity n
 //   doc16/doc32 — compacted doc ids; exactly one non-null, capacity n
 //   bad_start/bad_len — host-scored cluster list, capacity n/2 + 1
-//   meta        — out: [n_compact, window, n_bad]
+//   dense_start/dense_len — MXU-routed cluster list, capacity n/2 + 1
+//                 (may be null when dense_min == 0)
+//   meta        — out: [n_compact, window, n_bad, n_dense]
 //
 // Returns 0 on success, negative on error.
 int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
                   int64_t n, int64_t num_reads, uint32_t alpha,
-                  int64_t g_dense,
+                  int64_t g_dense, int64_t dense_min,
                   const uint8_t* sym_lut, const uint8_t* deg_lut,
                   uint8_t* packed, uint16_t* doc16, uint32_t* doc32,
-                  int64_t* bad_start, int64_t* bad_len, int64_t* meta) {
+                  int64_t* bad_start, int64_t* bad_len,
+                  int64_t* dense_start, int64_t* dense_len, int64_t* meta) {
   if (n <= 0 || (!doc16 && !doc32)) return -1;
-  i64 w = 0, nbad = 0, window = 1;
+  if (dense_min > 0 && (!dense_start || !dense_len)) return -4;
+  i64 w = 0, nbad = 0, ndense = 0, window = 1;
   const bool prof = std::getenv("LIME_PLAN_PROF") != nullptr;
   auto now = [] {
     timespec ts;
@@ -306,7 +315,11 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
         for (i64 j = ps; j < e; j++) acc |= deg_lut[ebwt[j]];
         deg = acc != 0;
       }
-      if (len > 255 || deg || n_g < g_dense) {
+      if (!deg && dense_min > 0 && n_g >= dense_min && len <= 65536) {
+        dense_start[ndense] = ps;
+        dense_len[ndense] = len;
+        ndense++;
+      } else if (len > 255 || deg || n_g < g_dense) {
         bad_start[nbad] = ps;
         bad_len[nbad] = len;
         nbad++;
@@ -330,6 +343,127 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
   meta[0] = w;
   meta[1] = window;
   meta[2] = nbad;
+  meta[3] = ndense;
+  return 0;
+}
+
+// MXU histogram-matmul planner — stream emission for genome-dense clusters.
+//
+// Uses the indicator-feature identity: with phi_r[s,k] = [count_r(s) >= k+1]
+// and psi_g[s,k] = [count_g(s) >= k+1] (k < K), the reference's per-cluster
+// score sum_s min(count_r(s), count_g(s)) (src/ClusterBWT_DA.cpp:81-191) is
+// exactly the inner product phi_r . psi_g whenever every read-side count is
+// <= K.  K <= 255 also subsumes the reference's genome-counter saturation
+// (ClusterBWT_DA.cpp:96) and read-counter wrap (both unreachable below 256).
+// Scoring a cluster batch is then one batched (entries, P_R, F) x
+// (clusters, G, F) matmul on the MXU, F = nsym*K.
+//
+// Per cluster this pass emits:
+// - up to max_ent *entries* of P_R read lanes each (rid = global read id,
+//   pad lanes carry num_reads = the scatter drop row); cmap maps each
+//   entry back to its cluster for the device-side psi gather;
+// - read triples (rb = global entry id, rpf = lane*F + sym*K + k), one per
+//   read-side position (occurrence k of (read, sym));
+// - genome triples (gcl = global cluster id, ggf = genome*F + sym*K + k),
+//   capped at K per (genome, sym).
+//
+// Clusters the identity cannot express (a read-side count > K, or more than
+// max_ent * P_R distinct reads) get valid[c] = 0 and emit nothing — the
+// caller routes them to the exact host scorer.  ent_off/rt_off/gt_off are
+// CSR offsets per cluster so the caller can chunk clusters into
+// fixed-shape device dispatches.  meta out: [n_entries, n_rt, n_gt].
+int64_t lime_plan_dense(const int64_t* starts, const int64_t* lens,
+                        int64_t n_clusters, const uint32_t* da,
+                        const uint8_t* ebwt, int64_t num_reads,
+                        int64_t num_docs, const uint8_t* sym_lut,
+                        int64_t K, int64_t PR, int64_t max_ent,
+                        int32_t* rid, int32_t* cmap,
+                        int32_t* rb, int16_t* rpf,
+                        int32_t* gcl, int32_t* ggf,
+                        int64_t* ent_off, int64_t* rt_off, int64_t* gt_off,
+                        uint8_t* valid, int64_t* meta) {
+  if (n_clusters < 0 || num_reads <= 0 || num_docs <= num_reads) return -1;
+  if (K < 1 || K > 255 || PR < 1 || max_ent < 1) return -1;
+  const int nsym = ebwt ? 4 : 1;
+  const i64 F = nsym * K;
+  std::vector<uint32_t> epoch(num_docs, 0);
+  std::vector<uint32_t> cnt(num_docs * nsym, 0);
+  std::vector<uint32_t> seen;
+  seen.reserve(1 << 16);
+  i64 ne = 0, nrt = 0, ngt = 0;
+  for (i64 c = 0; c < n_clusters; c++) {
+    ent_off[c] = ne;
+    rt_off[c] = nrt;
+    gt_off[c] = ngt;
+    const uint32_t ep = static_cast<uint32_t>(c) + 1;
+    seen.clear();
+    const i64 s = starts[c], len = lens[c];
+    bool ok = len <= 65536;
+    i64 n_dr = 0;
+    for (i64 j = s; ok && j < s + len; j++) {
+      const uint32_t d = da[j];
+      const int sym = ebwt ? (sym_lut[ebwt[j]] & 15) : 0;
+      if (sym >= nsym) {  // degenerate symbol: stateful waterfall — host
+        ok = false;
+        break;
+      }
+      if (epoch[d] != ep) {
+        epoch[d] = ep;
+        for (int t = 0; t < nsym; t++) cnt[d * nsym + t] = 0;
+        seen.push_back(d);
+        if (d < num_reads) n_dr++;
+      }
+      uint32_t& cc = cnt[d * nsym + sym];
+      cc++;
+      if (d < static_cast<uint32_t>(num_reads) &&
+          cc > static_cast<uint32_t>(K))
+        ok = false;
+    }
+    const i64 n_ent = (n_dr + PR - 1) / PR;
+    if (!ok || n_ent > max_ent || n_dr == 0) {
+      valid[c] = 0;
+      continue;
+    }
+    valid[c] = 1;
+    for (i64 b = 0; b < n_ent; b++) {
+      cmap[ne + b] = static_cast<int32_t>(c);
+      for (i64 p = 0; p < PR; p++)
+        rid[(ne + b) * PR + p] = static_cast<int32_t>(num_reads);
+    }
+    i64 ri = 0;
+    for (const uint32_t d : seen) {
+      if (d < static_cast<uint32_t>(num_reads)) {
+        const i64 b = ne + ri / PR, p = ri % PR;
+        rid[b * PR + p] = static_cast<int32_t>(d);
+        for (int sy = 0; sy < nsym; sy++) {
+          const i64 c0 = cnt[d * nsym + sy];  // <= K, checked above
+          for (i64 k = 0; k < c0; k++) {
+            rb[nrt] = static_cast<int32_t>(b);
+            rpf[nrt] = static_cast<int16_t>(p * F + sy * K + k);
+            nrt++;
+          }
+        }
+        ri++;
+      } else {
+        for (int sy = 0; sy < nsym; sy++) {
+          i64 c0 = cnt[d * nsym + sy];
+          if (c0 > K) c0 = K;
+          for (i64 k = 0; k < c0; k++) {
+            gcl[ngt] = static_cast<int32_t>(c);
+            ggf[ngt] = static_cast<int32_t>((d - num_reads) * F + sy * K + k);
+            ngt++;
+          }
+        }
+      }
+    }
+    ne += n_ent;
+  }
+  ent_off[n_clusters] = ne;
+  rt_off[n_clusters] = nrt;
+  gt_off[n_clusters] = ngt;
+  meta[0] = ne;
+  meta[1] = nrt;
+  meta[2] = ngt;
   return 0;
 }
 

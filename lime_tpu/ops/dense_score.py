@@ -1,0 +1,128 @@
+"""MXU histogram-matmul scoring for genome-dense clusters.
+
+The large-G scoring regime: the banded one-hot kernel pays
+``window * G_pad`` vector lanes per position (fine at G_pad <= 256, ~100x
+too slow at 930 genomes), and the host SIMD scorer is bound by the host's
+few cores.  This path puts the FLOPs where the TPU wants them — the MXU.
+
+Identity (same histogram sum as the reference, src/ClusterBWT_DA.cpp:81-191):
+with per-cluster indicator features
+
+    phi_r[s, k] = [count_r(s) >= k+1]      psi_g[s, k] = [count_g(s) >= k+1]
+
+the symbol-aware score is  sum_s min(count_r(s), count_g(s)) = phi_r . psi_g
+whenever every read-side count is <= K.  The native planner
+(lime_plan_dense) packs clusters into *entries* of ``PR`` read lanes and
+emits flat feature triples; here each fixed-shape chunk of clusters becomes
+
+    phi  (B, PR, F)   one scatter of read triples        F = nsym * K
+    psi  (C, G_pad, F) one scatter of genome triples
+    out  = einsum('bpf,bgf->bpg', phi, psi[cmap])        batched MXU matmul
+    sim[rid] += out                                      one row scatter-add
+
+K <= 255 subsumes the reference's genome-counter saturation
+(ClusterBWT_DA.cpp:96); clusters with a read-side count > K or more than
+``MAX_ENT * PR`` distinct reads are returned to the caller for the exact
+host scorer.  int8 accumulation wraps mod 256 = the reference's unsaturated
+uchar SimArray (ClusterBWT_DA.cpp:183).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import native
+from ..constants import SYMBOL_RANK_LUT
+
+K = 8        # occurrence-depth cap per (document, symbol)
+PR = 8       # read lanes per matmul entry
+MAX_ENT = 256  # entries per cluster (=> up to 2048 distinct reads)
+
+B_BLK = 2048      # entries per device dispatch
+C_BLK = 1024      # clusters per device dispatch
+RT_CAP = 1 << 19  # read triples per dispatch
+GT_CAP = 1 << 19  # genome triples per dispatch
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b_blk", "c_blk", "pr", "f", "g_pad"),
+    donate_argnums=(0,))
+def _dense_chunk(sim, ridx, gidx, cmap, rid, b_blk: int, c_blk: int,
+                 pr: int, f: int, g_pad: int):
+    """One fixed-shape chunk: scatter features, batched matmul, row scatter.
+
+    Triple pads carry out-of-range flat indices (mode='drop'); pad entries
+    have all-zero phi rows, so their rid rows (the ``num_reads`` drop row)
+    accumulate zero.  bf16 features with an f32 accumulator are exact here:
+    inputs are 0/1 and per-pair scores are <= F.
+    """
+    one = jnp.ones((), jnp.bfloat16)
+    phi = (jnp.zeros((b_blk * pr * f,), jnp.bfloat16)
+           .at[ridx].add(one, mode="drop").reshape(b_blk, pr, f))
+    psi = (jnp.zeros((c_blk * g_pad * f,), jnp.bfloat16)
+           .at[gidx].add(one, mode="drop").reshape(c_blk, g_pad, f))
+    out = jnp.einsum("bpf,bgf->bpg", phi, psi[cmap],
+                     preferred_element_type=jnp.float32)
+    add = out.reshape(b_blk * pr, g_pad).astype(jnp.int32)
+    return sim.at[rid].add(add.astype(sim.dtype), mode="drop")
+
+
+def dense_score_into(sim, starts: np.ndarray, lens: np.ndarray,
+                     da: np.ndarray, ebwt, num_reads: int,
+                     num_genomes: int, g_pad: int
+                     ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
+    """Accumulate dense-cluster scores into the device matrix ``sim``.
+
+    ``sim`` is the (out_rows >= num_reads+1, g_pad) accumulator with the
+    scatter drop row at index ``num_reads``.  Returns ``(sim, left_starts,
+    left_lens)`` — the clusters the identity could not express, for the
+    exact host scorer.  Dispatches are asynchronous; the returned array is
+    a device future.
+    """
+    starts = np.asarray(starts, np.int64)
+    lens = np.asarray(lens, np.int64)
+    if len(starts) == 0:
+        return sim, starts, lens
+    (rid, cmap, rb, rpf, gcl, ggf, ent_off, rt_off, gt_off,
+     valid) = native.plan_dense(
+        starts, lens, da, ebwt, num_reads, num_reads + num_genomes,
+        SYMBOL_RANK_LUT, K=K, PR=PR, max_ent=MAX_ENT)
+    nsym = 4 if ebwt is not None else 1
+    f = nsym * K
+    n = len(starts)
+    rid_flat = rid.reshape(-1)
+    c0 = 0
+    while c0 < n:
+        c1 = int(min(
+            np.searchsorted(ent_off, ent_off[c0] + B_BLK, side="right") - 1,
+            np.searchsorted(rt_off, rt_off[c0] + RT_CAP, side="right") - 1,
+            np.searchsorted(gt_off, gt_off[c0] + GT_CAP, side="right") - 1,
+            c0 + C_BLK, n))
+        if c1 <= c0:  # single cluster exceeds a cap — planner bounds forbid
+            raise AssertionError("dense cluster exceeds chunk caps")
+        e0, e1 = int(ent_off[c0]), int(ent_off[c1])
+        r0, r1 = int(rt_off[c0]), int(rt_off[c1])
+        g0, g1 = int(gt_off[c0]), int(gt_off[c1])
+        if e1 == e0:
+            c0 = c1
+            continue
+        ridx = np.full(RT_CAP, B_BLK * PR * f, np.int32)
+        ridx[:r1 - r0] = (rb[r0:r1] - e0) * (PR * f) + rpf[r0:r1]
+        gidx = np.full(GT_CAP, C_BLK * g_pad * f, np.int32)
+        gidx[:g1 - g0] = (gcl[g0:g1] - c0) * (g_pad * f) + ggf[g0:g1]
+        cmap_c = np.zeros(B_BLK, np.int32)
+        cmap_c[:e1 - e0] = cmap[e0:e1] - c0
+        rid_c = np.full(B_BLK * PR, num_reads, np.int32)
+        rid_c[:(e1 - e0) * PR] = rid_flat[e0 * PR:e1 * PR]
+        sim = _dense_chunk(sim, jnp.asarray(ridx), jnp.asarray(gidx),
+                           jnp.asarray(cmap_c), jnp.asarray(rid_c),
+                           B_BLK, C_BLK, PR, f, g_pad)
+        c0 = c1
+    bad = ~valid
+    return sim, starts[bad], lens[bad]

@@ -121,14 +121,29 @@ def _dense_threshold_for(num_genomes: int, config: LimeConfig) -> int:
 
     The banded kernel's per-position cost is window * G_pad one-hot lanes,
     so its economics collapse past ~256 genomes (measured: a 930-genome
-    workload routed to it is ~100x slower than the native scorer).  Until
-    the MXU histogram-matmul path for genome-dense clusters lands, large-G
-    scoring runs entirely on the native scorer and the TPU carries
-    classification.
+    workload routed to it is ~100x slower than the native scorer).  In the
+    large-G regime genome-dense clusters go to the MXU histogram-matmul
+    path instead (see _dense_min_for) and only genome-sparse ones to the
+    native scorer.
     """
     if config.dense_threshold is not None:
         return config.dense_threshold
     return 0 if _g_pad_for(num_genomes) <= 256 else (1 << 62)
+
+
+def _dense_min_for(num_genomes: int, config: LimeConfig) -> int:
+    """Genome-position threshold for MXU histogram-matmul routing.
+
+    Active only in the large-G regime (where the banded kernel is routed
+    off): clusters with >= this many genome positions amortize the batched
+    matmul; sparser ones stay on the native scorer, whose cost tracks the
+    touched cells.  0 disables the path.
+    """
+    if not native.available():
+        return 0
+    if config.mxu_dense_min is not None:
+        return config.mxu_dense_min
+    return 0 if _g_pad_for(num_genomes) <= 256 else 16
 
 
 def _score_small_dense(starts, lens, da, ebwt, n_r, n_g,
@@ -266,6 +281,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     block = _classify_block_for(num_reads)
     wide = bool(config.wide_sim)
     g_dense = _dense_threshold_for(num_genomes, config)
+    dense_min = _dense_min_for(num_genomes, config)
     host_dtype = np.uint32 if wide else np.uint8
     dev_dtype = jnp.int32 if wide else jnp.int8
     sims_dev = [None] * F
@@ -292,17 +308,21 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         lcp, da, ebwt = arrays
         timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
         if native.available():
-            packed, doc, nc, window, bad_start, bad_len = native.plan_native(
+            (packed, doc, nc, window, bad_start, bad_len, dense_start,
+             dense_len) = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16, pad_block=_BLOCK,
-                pad_doc=num_reads + num_genomes, g_dense=g_dense)
+                pad_doc=num_reads + num_genomes, g_dense=g_dense,
+                dense_min=dense_min)
         else:
             # the numpy fallback has no fast host scorer, so only clusters
             # the banded kernel cannot express route to the host
             packed, doc, window, bad_start, bad_len = _plan_python(
                 lcp, da, ebwt, num_reads, num_genomes, config, use_u16)
             nc = 1
-        return packed, doc, nc, window, bad_start, bad_len
+            dense_start = dense_len = np.empty(0, np.int64)
+        return packed, doc, nc, window, bad_start, bad_len, \
+            dense_start, dense_len
 
     with timer.phase("score"):
         import threading
@@ -327,7 +347,8 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                 th = threading.Thread(target=prefetch, args=(fi + 1,))
                 th.start()
             with timer.phase("plan"):
-                packed, doc, nc, window, bad_start, bad_len = plan(arrays)
+                (packed, doc, nc, window, bad_start, bad_len, dense_start,
+                 dense_len) = plan(arrays)
             if nc:
                 # async device dispatch; compute overlaps the next
                 # iterations' planning and host scoring
@@ -336,6 +357,24 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                         jax.device_put(packed), jax.device_put(doc),
                         jnp.int32(window), num_reads, num_genomes, r_pad,
                         wide)
+            if len(dense_start):
+                # genome-dense clusters: batched indicator-feature matmuls
+                # on the MXU (ops/dense_score.py); dispatches are async and
+                # overlap later collections' planning and host scoring
+                from .dense_score import dense_score_into
+
+                _, da_arr, ebwt_arr = arrays
+                with timer.phase("dense",
+                                 nbytes=int(dense_len.sum()) * 5):
+                    if sims_dev[fi] is None:
+                        sims_dev[fi] = jnp.zeros((r_pad, g_pad), dev_dtype)
+                    sims_dev[fi], left_s, left_l = dense_score_into(
+                        sims_dev[fi], dense_start, dense_len, da_arr,
+                        ebwt_arr if config.use_ebwt else None,
+                        num_reads, num_genomes, g_pad)
+                if len(left_s):
+                    bad_start = np.concatenate([bad_start, left_s])
+                    bad_len = np.concatenate([bad_len, left_l])
             if len(bad_start):
                 _, da, ebwt = arrays
                 total = int(np.asarray(bad_len, np.int64).sum())

@@ -126,7 +126,7 @@ def plan_host_range(fasta_path: str, num_reads: int, num_genomes: int,
 
     if not native.available():
         raise RuntimeError("per-host planning requires the native library")
-    packed, doc, nc, window, bad_s, bad_l = native.plan_native(
+    packed, doc, nc, window, bad_s, bad_l, _, _ = native.plan_native(
         lcp_s, da_s, eb_s, num_reads, alpha, SYMBOL_RANK_LUT,
         _DEGENERATE_BYTE, use_u16=use_u16, pad_block=1,
         pad_doc=num_reads + num_genomes, g_dense=g_dense)

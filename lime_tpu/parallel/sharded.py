@@ -470,7 +470,7 @@ def run_sharded(collections, output_path: str, num_reads: int,
         da = open_da(fasta)
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
         if native.available():
-            packed, doc, nc, window, bad_s, bad_l = native.plan_native(
+            packed, doc, nc, window, bad_s, bad_l, _, _ = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16=False, pad_block=1,
                 pad_doc=num_reads + num_genomes, g_dense=g_dense)

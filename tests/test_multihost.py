@@ -60,7 +60,7 @@ def test_per_host_plans_concatenate_to_whole_file_plan(dataset, num_hosts):
         lcp, open_da(fasta), open_ebwt(fasta), ds.num_reads, 16,
         SYMBOL_RANK_LUT, _DEGENERATE_BYTE, use_u16=False, pad_block=1,
         pad_doc=ds.num_reads + ds.num_genomes)
-    w_packed, w_doc, w_nc, w_window, w_bs, w_bl = whole
+    w_packed, w_doc, w_nc, w_window, w_bs, w_bl = whole[:6]
 
     packs, docs, bss, bls, windows = [], [], [], [], []
     prev_hi = 0

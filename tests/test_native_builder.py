@@ -64,7 +64,7 @@ def test_plan_native_matches_numpy():
     lcp[1000:1400] = alpha
     lcp[0] = alpha  # position 0 must never open a cluster
 
-    packed, doc, nc, window, bs, bl = native.plan_native(
+    packed, doc, nc, window, bs, bl, _, _ = native.plan_native(
         lcp, da, ebwt, num_reads, alpha, SYMBOL_RANK_LUT, _DEGENERATE_BYTE,
         use_u16=True)
     packed, doc = packed[:nc], doc[:nc]
@@ -108,7 +108,7 @@ def test_plan_native_no_ebwt():
     da = rng.integers(0, 20, size=n).astype(np.uint32)
     from lime_tpu.constants import SYMBOL_RANK_LUT
     from lime_tpu.ops.fused_pass import _DEGENERATE_BYTE
-    packed, doc, nc, window, bs, bl = native.plan_native(
+    packed, doc, nc, window, bs, bl, _, _ = native.plan_native(
         lcp, da, None, 10, 6, SYMBOL_RANK_LUT, _DEGENERATE_BYTE, use_u16=True)
     packed = packed[:nc]
     assert (packed & 15).max() == 0  # document-only: symbol ranks all zero
