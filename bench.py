@@ -96,12 +96,17 @@ def _paper_dataset():
 
 def _run_ours(ds, config, tag) -> float:
     from lime_tpu.pipeline import run_paired
+    from lime_tpu.utils.memory import MemoryProfiler
 
     out = os.path.join(ds.root, f"bench_ours_{tag}.csv")
     t0 = time.time()
-    run_paired(ds.collections, out, ds.num_reads, ds.num_genomes,
-               ds.lineage_path, ds.read_len, config)
-    return time.time() - t0
+    with MemoryProfiler(interval=0.5) as prof:
+        run_paired(ds.collections, out, ds.num_reads, ds.num_genomes,
+                   ds.lineage_path, ds.read_len, config)
+    dt = time.time() - t0
+    prof.write_csv(os.path.join(ROOT, "build", f"memprofile_{tag}.csv"))
+    _log(f"bench[{tag}]: {prof.report()}")
+    return dt
 
 
 def _run_reference(ds, tag) -> float:

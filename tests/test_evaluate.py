@@ -31,3 +31,21 @@ def test_report_math():
     assert r.precision == 0.8
     assert abs(r.f1 - 0.8) < 1e-12
     assert "sensitivity=0.8000" in r.summary()
+
+
+def test_memory_profiler_series():
+    """Time-series sampling profiler (the malloc_count replacement)."""
+    import numpy as np
+
+    from lime_tpu.utils.memory import MemoryProfiler
+
+    with MemoryProfiler(interval=0.01) as prof:
+        _ = np.ones(1 << 22, np.uint8)
+        import time
+
+        time.sleep(0.05)
+    s = prof.series()
+    assert len(s) >= 2
+    assert all(t2 >= t1 for (t1, _, _), (t2, _, _) in zip(s, s[1:]))
+    assert all(rss > 0 for _, rss, _ in s)
+    assert "host peak" in prof.report()
