@@ -73,22 +73,18 @@ def _dense_chunk(sim, ridx, gidx, cmap, rid, b_blk: int, c_blk: int,
     return sim.at[rid].add(add.astype(sim.dtype), mode="drop")
 
 
-def dense_score_into(sim, starts: np.ndarray, lens: np.ndarray,
-                     da: np.ndarray, ebwt, num_reads: int,
-                     num_genomes: int, g_pad: int
-                     ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
-    """Accumulate dense-cluster scores into the device matrix ``sim``.
+def pack_chunks(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,
+                ebwt, num_reads: int, num_genomes: int, g_pad: int):
+    """Plan dense clusters and pack them into fixed-shape chunks.
 
-    ``sim`` is the (out_rows >= num_reads+1, g_pad) accumulator with the
-    scatter drop row at index ``num_reads``.  Returns ``(sim, left_starts,
-    left_lens)`` — the clusters the identity could not express, for the
-    exact host scorer.  Dispatches are asynchronous; the returned array is
-    a device future.
+    Returns ``(chunks, left_starts, left_lens)``: a list of
+    ``(ridx, gidx, cmap, rid)`` numpy tuples — each a complete, statically
+    shaped dispatch — plus the clusters the identity could not express.
     """
     starts = np.asarray(starts, np.int64)
     lens = np.asarray(lens, np.int64)
     if len(starts) == 0:
-        return sim, starts, lens
+        return [], starts, lens
     (rid, cmap, rb, rpf, gcl, ggf, ent_off, rt_off, gt_off,
      valid) = native.plan_dense(
         starts, lens, da, ebwt, num_reads, num_reads + num_genomes,
@@ -97,6 +93,7 @@ def dense_score_into(sim, starts: np.ndarray, lens: np.ndarray,
     f = nsym * K
     n = len(starts)
     rid_flat = rid.reshape(-1)
+    chunks = []
     c0 = 0
     while c0 < n:
         c1 = int(min(
@@ -120,9 +117,29 @@ def dense_score_into(sim, starts: np.ndarray, lens: np.ndarray,
         cmap_c[:e1 - e0] = cmap[e0:e1] - c0
         rid_c = np.full(B_BLK * PR, num_reads, np.int32)
         rid_c[:(e1 - e0) * PR] = rid_flat[e0 * PR:e1 * PR]
+        chunks.append((ridx, gidx, cmap_c, rid_c))
+        c0 = c1
+    bad = ~valid
+    return chunks, starts[bad], lens[bad]
+
+
+def dense_score_into(sim, starts: np.ndarray, lens: np.ndarray,
+                     da: np.ndarray, ebwt, num_reads: int,
+                     num_genomes: int, g_pad: int
+                     ) -> Tuple[jax.Array, np.ndarray, np.ndarray]:
+    """Accumulate dense-cluster scores into the device matrix ``sim``.
+
+    ``sim`` is the (out_rows >= num_reads+1, g_pad) accumulator with the
+    scatter drop row at index ``num_reads``.  Returns ``(sim, left_starts,
+    left_lens)`` — the clusters the identity could not express, for the
+    exact host scorer.  Dispatches are asynchronous; the returned array is
+    a device future.
+    """
+    chunks, left_s, left_l = pack_chunks(starts, lens, da, ebwt, num_reads,
+                                         num_genomes, g_pad)
+    f = (4 if ebwt is not None else 1) * K
+    for ridx, gidx, cmap_c, rid_c in chunks:
         sim = _dense_chunk(sim, jnp.asarray(ridx), jnp.asarray(gidx),
                            jnp.asarray(cmap_c), jnp.asarray(rid_c),
                            B_BLK, C_BLK, PR, f, g_pad)
-        c0 = c1
-    bad = ~valid
-    return sim, starts[bad], lens[bad]
+    return sim, left_s, left_l

@@ -264,7 +264,8 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
                           num_refs: int, read_len: int, alpha: int,
                           beta: float, tax_rank: int, assign_higher: bool,
                           wide_sim: bool = False, max_corr: int = 0,
-                          dense_corr: bool = False):
+                          dense_corr: bool = False, dense_chunks: int = 0,
+                          dense_f: int = 32):
     """Build the jitted SPMD pipeline step over ``mesh`` (axes sp, dp).
 
     The step consumes *planned* compacted streams (see native lime_plan /
@@ -310,6 +311,7 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
     halo_l, halo_r = _HALO_L_SPMD, _HALO_R_SPMD
 
     def shard_fn(packed, doc, window, cfile, crows, ccols, cvals, hostm,
+                 d_ridx, d_gidx, d_cmap, d_rid, d_file,
                  tax, rank_matrix, valid_t, error, norm):
         # ``norm`` is a traced argument on purpose: as a constant XLA would
         # strength-reduce x/norm to x*(1/norm), losing bit-parity with the
@@ -379,6 +381,35 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
                 out_rows=r_pad, acc_dtype=acc_dtype)
         )(m_e, da_e, sym_e)  # (F, r_pad, G_pad) partial for this shard
 
+        if dense_chunks:
+            # MXU histogram-matmul chunks for genome-dense clusters
+            # (ops/dense_score.py), round-robined over the flattened
+            # (sp, dp) shards; every pair is emitted by exactly one shard,
+            # so the psum below merges them like the banded partials.
+            from ..ops.dense_score import B_BLK as _DB
+            from ..ops.dense_score import C_BLK as _DC
+            from ..ops.dense_score import PR as _DP
+
+            def chunk_body(part, inp):
+                ridx, gidx, cmapc, ridc, fidx = inp
+                one = jnp.ones((), jnp.bfloat16)
+                phi = (jnp.zeros((_DB * _DP * dense_f,), jnp.bfloat16)
+                       .at[ridx].add(one, mode="drop")
+                       .reshape(_DB, _DP, dense_f))
+                psi = (jnp.zeros((_DC * g_pad * dense_f,), jnp.bfloat16)
+                       .at[gidx].add(one, mode="drop")
+                       .reshape(_DC, g_pad, dense_f))
+                out = jnp.einsum("bpf,bgf->bpg", phi, psi[cmapc],
+                                 preferred_element_type=jnp.float32)
+                add = out.reshape(_DB * _DP, g_pad).astype(jnp.int32)
+                part = part.at[fidx, ridc].add(add.astype(part.dtype),
+                                               mode="drop")
+                return part, 0
+
+            partial, _ = lax.scan(
+                chunk_body, partial,
+                (d_ridx, d_gidx, d_cmap, d_rid, d_file))
+
         # Row-shard over dp, then merge position shards over sp.  int8
         # partial sums wrap mod 256 = the reference's uchar SimArray
         # accumulation (src/ClusterBWT_DA.cpp:183).
@@ -405,6 +436,8 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
         shard_fn, mesh=mesh,
         in_specs=(P(None, ("sp", "dp")), P(None, ("sp", "dp")), P(),
                   P(), P(), P(), P(), P(None, "dp", None),
+                  P(("sp", "dp")), P(("sp", "dp")), P(("sp", "dp")),
+                  P(("sp", "dp")), P(("sp", "dp")),
                   P(), P(), P(), P(), P()),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
@@ -413,17 +446,30 @@ def make_sharded_pipeline(mesh, num_files: int, num_reads: int,
     norm = jnp.float32(np.uint32(read_len + 1 - alpha))
     host_dtype = np.uint32 if wide_sim else np.uint8
     hostm_dummy = np.zeros((num_files, dp, g_pad), host_dtype)
+    n_shards = sp * dp
+    from ..ops.dense_score import B_BLK as _DB
+    from ..ops.dense_score import GT_CAP as _DG
+    from ..ops.dense_score import PR as _DP
+    from ..ops.dense_score import RT_CAP as _DR
+    n_ch = n_shards * dense_chunks
+    dense_dummy = (np.zeros((n_ch, _DR), np.int32),
+                   np.zeros((n_ch, _DG), np.int32),
+                   np.zeros((n_ch, _DB), np.int32),
+                   np.zeros((n_ch, _DB * _DP), np.int32),
+                   np.full(n_ch, num_files, np.int32))
 
     def step(packed, doc, window, cfile, crows, ccols, cvals, tax,
-             rank_matrix, valid_t, error, hostm=None):
+             rank_matrix, valid_t, error, hostm=None, dense=None):
         if hostm is None:
             hostm = hostm_dummy  # (F, dp, g_pad): one zero row per shard
         if dense_corr and hostm.shape[1] != r_pad:
             padded = np.zeros((num_files, r_pad, g_pad), host_dtype)
             padded[:, :hostm.shape[1], :hostm.shape[2]] = hostm
             hostm = padded
+        if dense is None:
+            dense = dense_dummy
         return jitted(packed, doc, jnp.asarray(window, jnp.int32), cfile,
-                      crows, ccols, cvals, hostm, tax, rank_matrix,
+                      crows, ccols, cvals, hostm, *dense, tax, rank_matrix,
                       valid_t, error, norm)
 
     return step
@@ -444,7 +490,10 @@ def run_sharded(collections, output_path: str, num_reads: int,
     from ..formats.lineage import read_lineage
     from ..ops.classify_ops import ClassifyResult
     from ..ops.fused_pass import _DEGENERATE_BYTE
+    from ..ops.dense_score import K as _DK
+    from ..ops.dense_score import pack_chunks
     from ..ops.fused_pipeline import (
+        _dense_min_for,
         _dense_threshold_for,
         _plan_python,
         _rescue,
@@ -461,26 +510,39 @@ def run_sharded(collections, output_path: str, num_reads: int,
     lineage = read_lineage(lineage_path)
     n_shards = mesh.shape["sp"] * mesh.shape["dp"]
     g_dense = _dense_threshold_for(num_genomes, config)
+    dense_min = _dense_min_for(num_genomes, config)
+    g_pad = max(128, -(-num_genomes // 128) * 128)
 
     packs, docs, windows = [], [], []
     corr = []
     host_mats = {}
+    dense_chunk_list = []  # (file, ridx, gidx, cmap, rid)
     for fi, fasta in enumerate(collections):
         lcp = open_lcp(fasta)
         da = open_da(fasta)
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
         if native.available():
-            packed, doc, nc, window, bad_s, bad_l, _, _ = native.plan_native(
+            (packed, doc, nc, window, bad_s, bad_l, den_s,
+             den_l) = native.plan_native(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE, use_u16=False, pad_block=1,
-                pad_doc=num_reads + num_genomes, g_dense=g_dense)
+                pad_doc=num_reads + num_genomes, g_dense=g_dense,
+                dense_min=dense_min)
         else:
             packed, doc, window, bad_s, bad_l = _plan_python(
                 lcp, da, ebwt, num_reads, num_genomes, config,
                 use_u16=False)
+            den_s = den_l = np.empty(0, np.int64)
         packs.append(packed)
         docs.append(doc.astype(np.int32))
         windows.append(window)
+        if len(den_s):
+            chunks_f, left_s, left_l = pack_chunks(
+                den_s, den_l, da, ebwt, num_reads, num_genomes, g_pad)
+            dense_chunk_list.extend((fi, *c) for c in chunks_f)
+            if len(left_s):
+                bad_s = np.concatenate([bad_s, left_s])
+                bad_l = np.concatenate([bad_l, left_l])
         if len(bad_s):
             res = _rescue(bad_s, bad_l, da, ebwt, num_reads, num_genomes,
                           config)
@@ -516,7 +578,6 @@ def run_sharded(collections, output_path: str, num_reads: int,
         cvals = np.empty(0, np.int32)
         max_corr = 0
 
-    g_pad = max(128, -(-num_genomes // 128) * 128)
     tax = np.zeros(g_pad, np.uint32)
     tax[:num_genomes] = lineage.at_rank(config.tax_rank)
     rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
@@ -530,16 +591,39 @@ def run_sharded(collections, output_path: str, num_reads: int,
         for fi, mat in host_mats.items():
             hostm[fi] = mat
 
+    dense = None
+    dense_chunks = 0
+    if dense_chunk_list:
+        from ..ops.dense_score import B_BLK as _DB
+        from ..ops.dense_score import C_BLK as _DC
+        from ..ops.dense_score import GT_CAP as _DG
+        from ..ops.dense_score import PR as _DP
+        from ..ops.dense_score import RT_CAP as _DR
+
+        f_dim = (4 if config.use_ebwt else 1) * _DK
+        n_ch = -(-len(dense_chunk_list) // n_shards) * n_shards
+        d_ridx = np.full((n_ch, _DR), _DB * _DP * f_dim, np.int32)
+        d_gidx = np.full((n_ch, _DG), _DC * g_pad * f_dim, np.int32)
+        d_cmap = np.zeros((n_ch, _DB), np.int32)
+        d_rid = np.full((n_ch, _DB * _DP), num_reads, np.int32)
+        d_file = np.full(n_ch, F, np.int32)
+        for i, (fi, ridx, gidx, cmap_c, rid_c) in \
+                enumerate(dense_chunk_list):
+            d_ridx[i], d_gidx[i] = ridx, gidx
+            d_cmap[i], d_rid[i], d_file[i] = cmap_c, rid_c, fi
+        dense = (d_ridx, d_gidx, d_cmap, d_rid, d_file)
+        dense_chunks = n_ch // n_shards
     step = make_sharded_pipeline(
         mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
         read_len=read_len, alpha=config.alpha, beta=config.beta,
         tax_rank=config.tax_rank, assign_higher=config.assign_higher,
         wide_sim=config.wide_sim, max_corr=max_corr,
-        dense_corr=hostm is not None)
+        dense_corr=hostm is not None, dense_chunks=dense_chunks,
+        dense_f=(4 if config.use_ebwt else 1) * _DK)
     types, taxid, sim = step(packed, doc, max(windows), cfile, crows,
                              ccols, cvals, tax, rank_matrix, valid_t,
                              jnp.float32(config.error_tolerance),
-                             hostm=hostm)
+                             hostm=hostm, dense=dense)
     res = ClassifyResult(np.asarray(types)[:num_reads],
                          np.asarray(taxid)[:num_reads],
                          np.asarray(sim)[:num_reads])

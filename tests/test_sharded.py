@@ -174,3 +174,27 @@ def test_banded_single_device_matches_host_scoring(clean_dataset):
     out = jax.jit(banded_fused_step, static_argnums=(3, 4, 5, 6))(
         lcp, da, sym, ds.num_reads, ds.num_genomes, 16, 64)
     np.testing.assert_array_equal(np.asarray(out) % 256, expected)
+
+
+def test_sharded_mxu_dense_matches_host(dataset, tmp_path):
+    """MXU histogram-matmul chunks inside the SPMD step == host pipeline.
+
+    mxu_dense_min=1 routes every eligible pure-ACGT cluster through the
+    in-program dense scan (degenerate clusters still ride the COO rescue).
+    """
+    ds = dataset
+    host_csv = str(tmp_path / "host.csv")
+    run_paired(ds.collections, host_csv, ds.num_reads, ds.num_genomes,
+               ds.lineage_path, ds.read_len, HOST)
+    for shape in ((4, 2), (1, 1)):
+        n_dev = shape[0] * shape[1]
+        if n_dev > len(jax.devices()):
+            continue
+        mesh = make_mesh(n_dev, shape=shape)
+        shard_csv = str(tmp_path / f"shard_mxu_{n_dev}.csv")
+        run_sharded(ds.collections, shard_csv, ds.num_reads,
+                    ds.num_genomes, ds.lineage_path, ds.read_len,
+                    LimeConfig(mxu_dense_min=1, dense_threshold=1 << 62),
+                    mesh=mesh)
+        with open(host_csv) as f1, open(shard_csv) as f2:
+            assert f1.read() == f2.read(), f"mesh {shape}"
