@@ -66,6 +66,12 @@ class LimeConfig:
     # scorer.  None = auto: disabled while the banded kernel covers the
     # genome width (G_pad <= 256), else 16.  0 disables.
     mxu_dense_min: Optional[int] = None
+    # Pair-stream scoring (ops/pair_score.py): the G-independent device
+    # path — sparse clusters score on device at any genome count, dense
+    # ones on the MXU.  None = auto: on whenever the native planner is
+    # available and the flat scatter range fits int32; False forces the
+    # legacy banded/density routing.
+    pair_stream: Optional[bool] = None
 
     def __post_init__(self) -> None:
         if self.executor not in ("tpu", "host"):

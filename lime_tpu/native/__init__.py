@@ -55,6 +55,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.lime_plan_pairs.restype = ctypes.c_int64
+            lib.lime_plan_pairs.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             lib.lime_plan_dense.restype = ctypes.c_int64
             lib.lime_plan_dense.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -191,6 +201,72 @@ def plan_native(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
     return (packed[:n_pad], doc[:n_pad], nc, window,
             bad_start[:nbad].copy(), bad_len[:nbad].copy(),
             dense_start[:ndense].copy(), dense_len[:ndense].copy())
+
+
+def plan_pairs(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
+               num_reads: int, alpha: int, g_pad: int,
+               sym_lut: np.ndarray, deg_lut: np.ndarray,
+               dense_min: int = 16):
+    """One C++ pass: cluster scan + routing + pair-stream emission.
+
+    The G-independent scoring plan (see lime_plan_pairs in csrc): sparse
+    clusters become per-genome-document "copies" — packed chain/side/sym
+    bytes plus a flat int32 scatter index — binned into 3 window buckets;
+    genome-dense clusters and host-rescue clusters are listed separately.
+
+    Returns ``(buckets, dense_start, dense_len, bad_start, bad_len)``
+    where buckets is a list of up to 3 ``(packed, flatidx, window)``
+    tuples (empty buckets omitted).  Releases the GIL for the whole pass.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if (num_reads + 1) * g_pad > 2**31 - 1:
+        raise ValueError("num_reads * g_pad exceeds int32 scatter range; "
+                         "use the row-blocked path")
+    lcp = np.ascontiguousarray(lcp, dtype=np.uint32)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    eb_ptr = 0
+    if ebwt is not None:
+        ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
+        eb_ptr = ebwt.ctypes.data
+    sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
+    n = len(lcp)
+    n_clusters_cap = n // 2 + 1
+    dense_start = np.empty(n_clusters_cap, dtype=np.int64)
+    dense_len = np.empty(n_clusters_cap, dtype=np.int64)
+    bad_start = np.empty(n_clusters_cap, dtype=np.int64)
+    bad_len = np.empty(n_clusters_cap, dtype=np.int64)
+    meta = np.zeros(8, dtype=np.int64)
+    cap = n + n // 8 + 1024  # replication makes the size data-dependent
+    for _ in range(2):
+        packed = np.empty(cap, dtype=np.uint8)
+        flatidx = np.empty(cap, dtype=np.int32)
+        rc = lib.lime_plan_pairs(
+            lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
+            dense_min, g_pad, sym_lut.ctypes.data, deg_lut.ctypes.data,
+            cap, packed.ctypes.data, flatidx.ctypes.data,
+            dense_start.ctypes.data, dense_len.ctypes.data,
+            bad_start.ctypes.data, bad_len.ctypes.data, meta.ctypes.data)
+        if rc == 0:
+            break
+        if rc == 1:
+            cap = int(meta[0])
+            continue
+        raise RuntimeError(f"lime_plan_pairs failed: {rc}")
+    else:
+        raise RuntimeError("lime_plan_pairs capacity retry failed")
+    needed, ndense, nbad = int(meta[0]), int(meta[1]), int(meta[2])
+    offs = [0, int(meta[6]), int(meta[7]), needed]
+    buckets = []
+    for b in range(3):
+        lo, hi = offs[b], offs[b + 1]
+        if hi > lo:
+            buckets.append((packed[lo:hi], flatidx[lo:hi],
+                            int(meta[3 + b])))
+    return (buckets, dense_start[:ndense].copy(), dense_len[:ndense].copy(),
+            bad_start[:nbad].copy(), bad_len[:nbad].copy())
 
 
 def plan_dense(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,

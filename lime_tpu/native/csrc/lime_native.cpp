@@ -347,6 +347,210 @@ int64_t lime_plan(const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
   return 0;
 }
 
+// Pair-stream planner — the G-independent device scoring path.
+//
+// At any genome count, almost all alpha-clusters are genome-SPARSE
+// (typically one genome document per cluster), so the banded kernel's
+// window x G_pad one-hot lanes idle and the MXU batched matmul cannot
+// amortize.  This pass restructures sparse clusters for a device program
+// whose cost does not depend on G: each cluster is re-emitted once per
+// distinct genome document it contains (a "copy" = all of the cluster's
+// read positions plus that one genome's positions, grouped by document).
+// Every emitted row carries one packed byte
+//
+//   bit6  m       in-run bit (0 on a copy's first row): the device's
+//                 same-cluster AND-chain, as in the banded kernel
+//   bit5  docrun  0 on the first row of each document group: the chain
+//                 for per-(cluster, doc, symbol) occurrence indices
+//   bit4  side    1 = genome-side row
+//   bits0-3       symbol rank (equality-matched; degenerates are routed
+//                 to the exact host scorer before this point)
+//
+// plus a precomputed int32 scatter index row * g_pad + gcol (gcol = the
+// copy's genome column; genome-side rows scatter into the num_reads drop
+// row).  The device derives occurrence indices with the docrun chain,
+// matches read rows against genome rows of equal (symbol, occ) across
+// the band — the occurrence-matching identity for
+// t = sum_s min(cnt_r(s), cnt_g(s)), reference src/ClusterBWT_DA.cpp:
+// 107-190 — and scatter-adds per-row hit counts: one scalar lane per
+// position instead of G_pad one-hot lanes.
+//
+// Copies are binned into 3 window buckets (copy length <= 16 / 64 / 255)
+// so the short-cluster majority never pays a long cluster's band width.
+// Routing: clusters with >= dense_min genome positions go to the MXU
+// histogram-matmul path (dense_start/len; lime_plan_dense); IUPAC-
+// degenerate clusters and sparse clusters longer than 255 (where the
+// reference's u8 counter wrap/saturation quirks bite,
+// src/ClusterBWT_DA.cpp:96,123) go to bad (exact host rescue).
+//
+//   lcp/da      — index arrays, n positions
+//   ebwt        — may be null (document-count variant, reference EBWT=0)
+//   g_pad       — genome-lane padding of the similarity matrix; the
+//                 caller guarantees (num_reads + 1) * g_pad < 2^31
+//   cap         — capacity of packed/flatidx; if the emitted stream is
+//                 larger the call returns 1 with meta[0] = needed size
+//                 (replication makes the bound data-dependent)
+//   packed/flatidx — the bucket-ordered stream (bucket 0, then 1, 2)
+//   dense_*/bad_*  — cluster routing lists, capacity n/2 + 1 each
+//   meta        — out: [needed, n_dense, n_bad, w0, w1, w2, off1, off2]
+//                 (bucket b's rows are [off_b, off_{b+1}) with off0 = 0,
+//                 off3 = needed; w_b = that bucket's max copy length)
+//
+// Returns 0 on success, 1 on insufficient cap, negative on error.
+int64_t lime_plan_pairs(const uint32_t* lcp, const uint32_t* da,
+                        const uint8_t* ebwt, int64_t n, int64_t num_reads,
+                        uint32_t alpha, int64_t dense_min, int64_t g_pad,
+                        const uint8_t* sym_lut, const uint8_t* deg_lut,
+                        int64_t cap, uint8_t* packed, int32_t* flatidx,
+                        int64_t* dense_start, int64_t* dense_len,
+                        int64_t* bad_start, int64_t* bad_len,
+                        int64_t* meta) {
+  if (n <= 0 || num_reads <= 0 || g_pad < 1) return -1;
+  if ((num_reads + 1) * g_pad > INT32_MAX) return -2;
+  const i64 BUCKET_CAP[3] = {16, 64, 255};
+  const int32_t drop_flat = static_cast<int32_t>(num_reads * g_pad);
+
+  // In-run byte mask + transition collection (same vectorized scheme as
+  // lime_plan above: branchless passes instead of a per-position state
+  // machine).
+  std::vector<uint8_t> m(n);
+  for (i64 i = 0; i < n; i++) m[i] = lcp[i] >= alpha;
+  m[0] = 0;  // skip-leading rule (reference src/ClusterLCP.cpp:196-202)
+  i64 n_tr = 0;
+  for (i64 i = 1; i < n; i++) n_tr += m[i] ^ m[i - 1];
+  std::vector<uint32_t> tr(n_tr + 1);
+  {
+    i64 k = 0;
+    uint32_t* trp = tr.data();
+    for (i64 i = 1; i < n; i++) {
+      trp[k] = static_cast<uint32_t>(i);
+      k += m[i] ^ m[i - 1];
+    }
+    if (m[n - 1]) tr[k++] = static_cast<uint32_t>(n);
+    n_tr = k;
+  }
+
+  std::vector<uint8_t> pk[3];
+  std::vector<int32_t> fl[3];
+  for (int b = 0; b < 3; b++) {
+    pk[b].reserve(n / 4);
+    fl[b].reserve(n / 4);
+  }
+  i64 windows[3] = {1, 1, 1};
+  i64 nbad = 0, ndense = 0;
+
+  // per-cluster scratch (pair-path clusters are <= 255 rows)
+  uint32_t cl_doc[256];
+  uint8_t cl_sym[256];
+  uint32_t seen_doc[256];
+  uint8_t seen_read[256];
+  const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
+
+  for (i64 p = 0; p + 1 < n_tr; p += 2) {
+    const i64 s = tr[p], e = tr[p + 1];
+    const i64 ps = s - 1;  // cluster rows = run extended one row left
+    const i64 len = e - ps;
+
+    i64 nr = 0;
+    for (i64 j = ps; j < e; j++) nr += da[j] < nr_u32;
+    const i64 n_g = len - nr;
+    if (nr == 0 || n_g == 0) continue;  // membership filter
+
+    bool deg = false;
+    if (ebwt) {
+      uint8_t acc = 0;
+      for (i64 j = ps; j < e; j++) acc |= deg_lut[ebwt[j]];
+      deg = acc != 0;
+    }
+    if (!deg && dense_min > 0 && n_g >= dense_min && len <= 65536) {
+      dense_start[ndense] = ps;
+      dense_len[ndense] = len;
+      ndense++;
+      continue;
+    }
+    if (deg || len > 255) {
+      bad_start[nbad] = ps;
+      bad_len[nbad] = len;
+      nbad++;
+      continue;
+    }
+
+    // Distinct documents in first-seen order; genome copy emission.
+    i64 n_seen = 0;
+    for (i64 j = ps; j < e; j++) {
+      const uint32_t d = da[j];
+      const uint8_t sym =
+          ebwt ? static_cast<uint8_t>(sym_lut[ebwt[j]] & 15) : 0;
+      cl_doc[j - ps] = d;
+      cl_sym[j - ps] = sym;
+      i64 t = 0;
+      while (t < n_seen && seen_doc[t] != d) t++;
+      if (t == n_seen) {
+        seen_doc[n_seen] = d;
+        seen_read[n_seen] = d < nr_u32;
+        n_seen++;
+      }
+    }
+
+    for (i64 gi = 0; gi < n_seen; gi++) {
+      if (seen_read[gi]) continue;
+      const uint32_t g = seen_doc[gi];
+      // copy length = all read rows + this genome's rows
+      i64 g_rows = 0;
+      for (i64 j = 0; j < len; j++) g_rows += cl_doc[j] == g;
+      const i64 copy_len = nr + g_rows;
+      const int b = copy_len <= BUCKET_CAP[0] ? 0
+                    : copy_len <= BUCKET_CAP[1] ? 1 : 2;
+      if (copy_len > windows[b]) windows[b] = copy_len;
+      const int32_t gcol = static_cast<int32_t>(g - nr_u32);
+      bool first_of_copy = true;
+      for (i64 t = 0; t < n_seen; t++) {
+        const uint32_t d = seen_doc[t];
+        const bool is_read = seen_read[t];
+        if (!is_read && d != g) continue;
+        const int32_t flat =
+            is_read ? static_cast<int32_t>(static_cast<i64>(d) * g_pad +
+                                           gcol)
+                    : drop_flat;
+        const uint8_t side = is_read ? 0 : 0x10;
+        bool first_of_doc = true;
+        for (i64 j = 0; j < len; j++) {
+          if (cl_doc[j] != d) continue;
+          uint8_t byte = static_cast<uint8_t>(cl_sym[j] | side);
+          if (!first_of_copy) byte |= 0x40;
+          if (!first_of_doc) byte |= 0x20;
+          first_of_copy = false;
+          first_of_doc = false;
+          pk[b].push_back(byte);
+          fl[b].push_back(flat);
+        }
+      }
+    }
+  }
+
+  const i64 n0 = static_cast<i64>(pk[0].size());
+  const i64 n1 = static_cast<i64>(pk[1].size());
+  const i64 n2 = static_cast<i64>(pk[2].size());
+  const i64 needed = n0 + n1 + n2;
+  meta[0] = needed;
+  meta[1] = ndense;
+  meta[2] = nbad;
+  meta[3] = windows[0];
+  meta[4] = windows[1];
+  meta[5] = windows[2];
+  meta[6] = n0;
+  meta[7] = n0 + n1;
+  if (needed > cap) return 1;
+  i64 off = 0;
+  for (int b = 0; b < 3; b++) {
+    std::memcpy(packed + off, pk[b].data(), pk[b].size());
+    std::memcpy(flatidx + off, fl[b].data(),
+                fl[b].size() * sizeof(int32_t));
+    off += static_cast<i64>(pk[b].size());
+  }
+  return 0;
+}
+
 // MXU histogram-matmul planner — stream emission for genome-dense clusters.
 //
 // Uses the indicator-feature identity: with phi_r[s,k] = [count_r(s) >= k+1]
@@ -384,9 +588,11 @@ int64_t lime_plan_dense(const int64_t* starts, const int64_t* lens,
                         uint8_t* valid, int64_t* meta) {
   if (n_clusters < 0 || num_reads <= 0 || num_docs <= num_reads) return -1;
   if (K < 1 || K > 255 || PR < 1 || max_ent < 1) return -1;
+  // rpf holds p*F + sy*K + k in int16
+  if (PR * (ebwt ? 4 : 1) * K > 32767) return -1;
   const int nsym = ebwt ? 4 : 1;
   const i64 F = nsym * K;
-  std::vector<uint32_t> epoch(num_docs, 0);
+  std::vector<uint64_t> epoch(num_docs, 0);
   std::vector<uint32_t> cnt(num_docs * nsym, 0);
   std::vector<uint32_t> seen;
   seen.reserve(1 << 16);
@@ -395,7 +601,7 @@ int64_t lime_plan_dense(const int64_t* starts, const int64_t* lens,
     ent_off[c] = ne;
     rt_off[c] = nrt;
     gt_off[c] = ngt;
-    const uint32_t ep = static_cast<uint32_t>(c) + 1;
+    const uint64_t ep = static_cast<uint64_t>(c) + 1;
     seen.clear();
     const i64 s = starts[c], len = lens[c];
     bool ok = len <= 65536;

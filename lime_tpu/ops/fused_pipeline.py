@@ -280,8 +280,14 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     g_pad = _g_pad_for(num_genomes)
     block = _classify_block_for(num_reads)
     wide = bool(config.wide_sim)
+    pair = config.pair_stream
+    if pair is None:
+        pair = (native.available()
+                and (num_reads + 1) * g_pad < 2**31 - 1)
     g_dense = _dense_threshold_for(num_genomes, config)
-    dense_min = _dense_min_for(num_genomes, config)
+    dense_min = (_dense_min_for(num_genomes, config) if not pair
+                 else (16 if config.mxu_dense_min is None
+                       else config.mxu_dense_min))
     host_dtype = np.uint32 if wide else np.uint8
     dev_dtype = jnp.int32 if wide else jnp.int8
     sims_dev = [None] * F
@@ -294,8 +300,19 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         ebwt = open_ebwt(fasta) if config.use_ebwt else None
         return lcp, da, ebwt
 
+    def plan_pair(arrays):
+        """Plan one collection for the pair-stream path (ops/pair_score):
+        sparse clusters -> per-genome-copy streams, genome-dense -> MXU
+        lists, degenerate/long -> host rescue."""
+        lcp, da, ebwt = arrays
+        timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
+        return native.plan_pairs(
+            lcp, da, ebwt, num_reads, config.alpha, g_pad,
+            SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8),
+            dense_min=dense_min)
+
     def plan(arrays):
-        """Plan one collection.
+        """Plan one collection (legacy banded/density routing).
 
         The device stream is *compacted*: only positions of clusters that
         contain both a read and a genome symbol (the reference's membership
@@ -346,17 +363,34 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             if fi + 1 < F:
                 th = threading.Thread(target=prefetch, args=(fi + 1,))
                 th.start()
-            with timer.phase("plan"):
-                (packed, doc, nc, window, bad_start, bad_len, dense_start,
-                 dense_len) = plan(arrays)
-            if nc:
-                # async device dispatch; compute overlaps the next
-                # iterations' planning and host scoring
-                with timer.phase("dispatch"):
-                    sims_dev[fi] = _score_program(
-                        jax.device_put(packed), jax.device_put(doc),
-                        jnp.int32(window), num_reads, num_genomes, r_pad,
-                        wide)
+            if pair:
+                with timer.phase("plan"):
+                    (buckets, dense_start, dense_len, bad_start,
+                     bad_len) = plan_pair(arrays)
+                if buckets:
+                    # async device dispatch; the G-independent kernel
+                    # overlaps later collections' planning
+                    from .pair_score import pair_score_into
+
+                    nb = sum(5 * len(p) for p, _, _ in buckets)
+                    with timer.phase("dispatch", nbytes=nb):
+                        if sims_dev[fi] is None:
+                            sims_dev[fi] = jnp.zeros((r_pad, g_pad),
+                                                     dev_dtype)
+                        sims_dev[fi] = pair_score_into(
+                            sims_dev[fi], buckets, num_reads, g_pad)
+            else:
+                with timer.phase("plan"):
+                    (packed, doc, nc, window, bad_start, bad_len,
+                     dense_start, dense_len) = plan(arrays)
+                if nc:
+                    # async device dispatch; compute overlaps the next
+                    # iterations' planning and host scoring
+                    with timer.phase("dispatch"):
+                        sims_dev[fi] = _score_program(
+                            jax.device_put(packed), jax.device_put(doc),
+                            jnp.int32(window), num_reads, num_genomes,
+                            r_pad, wide)
             if len(dense_start):
                 # genome-dense clusters: batched indicator-feature matmuls
                 # on the MXU (ops/dense_score.py); dispatches are async and

@@ -1,0 +1,192 @@
+"""G-independent device scoring over planner-emitted pair streams.
+
+The banded one-hot kernel (parallel/sharded.banded_partial_sim) pays
+``window * G_pad`` vector lanes per position — the right trade only when
+many genome lanes hit per position.  Measured cluster statistics say the
+opposite is typical: at the reference's flagship scale (930 genomes) the
+p99 cluster holds ONE genome document, so the one-hot idles >99% of its
+lanes.  This path removes the genome axis from the hot loop entirely.
+
+The native planner (lime_plan_pairs) re-emits each sparse cluster once per
+distinct genome document it contains — all read rows plus that genome's
+rows, grouped by document — with a packed byte per row:
+
+  bit6  m       in-run chain bit (0 on a copy's first row)
+  bit5  docrun  0 on the first row of each document group
+  bit4  side    1 = genome-side row
+  0..3          symbol rank
+
+plus a precomputed int32 scatter index ``row * g_pad + gcol``.  On device:
+
+1. occurrence pass — ``occ[i]`` = this row's occurrence index within its
+   (cluster, document, symbol), via the docrun AND-chain across band
+   offsets (all elementwise);
+2. match pass — ``hits[i]`` = number of genome-side rows in the same copy
+   with equal (symbol, occ), via the m AND-chain in both band directions
+   (the occurrence-matching identity: summed per (read, genome) pair this
+   is exactly t = sum_s min(cnt_r(s), cnt_g(s)), reference
+   src/ClusterBWT_DA.cpp:107-190);
+3. one scalar scatter-add of ``hits`` at ``flatidx`` into the similarity
+   matrix.  int8 accumulation wraps mod 256 = the reference's unsaturated
+   uchar SimArray (src/ClusterBWT_DA.cpp:183).
+
+Per-position cost: ~a dozen vector ops per band offset and 5 bytes of
+upload — independent of the genome count.  Genome-dense clusters (which
+do amortize wide lanes) route to the MXU histogram-matmul path
+(ops/dense_score.py) instead; IUPAC-degenerate and >255-row clusters to
+the exact host scorer (the reference's u8 wrap/saturation quirks,
+src/ClusterBWT_DA.cpp:96,123).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Streams are padded to multiples of this so jit shape variants stay few.
+PAIR_BLOCK = 1 << 22
+
+_PAD_W = 256  # static halo; window is traced <= 255
+
+
+def _pad2(x, fill=0):
+    return jnp.pad(x, (_PAD_W, _PAD_W), constant_values=fill)
+
+
+def _bwd(padded, o):
+    length = padded.shape[-1] - 2 * _PAD_W
+    return lax.dynamic_slice_in_dim(padded, _PAD_W - o, length, axis=-1)
+
+
+def _fwd(padded, o):
+    length = padded.shape[-1] - 2 * _PAD_W
+    return lax.dynamic_slice_in_dim(padded, _PAD_W + o, length, axis=-1)
+
+
+def pair_hits(packed: jnp.ndarray, window) -> jnp.ndarray:
+    """Per-row genome-match counts for one pair stream (the scoring math).
+
+    ``packed`` is the planner's byte stream; ``window`` a traced int32
+    <= 255 (one compiled program serves every window).  Returns int32
+    ``hits`` with zeros on genome-side and pad rows' matches routed by the
+    caller's scatter indices.
+    """
+    m = ((packed >> 6) & 1).astype(bool)
+    dr = ((packed >> 5) & 1).astype(bool)
+    gs = ((packed >> 4) & 1).astype(bool)
+    sym = (packed & 15).astype(jnp.int8)
+    L = packed.shape[-1]
+
+    pad_sym = _pad2(sym, -1)  # pads never match a real symbol
+    pad_dr = _pad2(dr)
+    pad_m = _pad2(m)
+    pad_gs = _pad2(gs)
+
+    def occ_step(o, carry):
+        chain, occ = carry
+        same = chain & (sym == _bwd(pad_sym, o))
+        occ = occ + same.astype(jnp.int32)
+        chain = chain & _bwd(pad_dr, o)
+        return chain, occ
+
+    _, occ = lax.fori_loop(1, window + 1, occ_step,
+                           (dr, jnp.zeros(L, jnp.int32)))
+    pad_occ = _pad2(occ, -1)
+
+    def hit_step(o, carry):
+        chain, hits = carry
+        hit_b = (chain & _bwd(pad_gs, o) & (sym == _bwd(pad_sym, o))
+                 & (occ == _bwd(pad_occ, o)))
+        # same-cluster over (i, i+o] = the backward chain evaluated at i+o
+        chain_f = _fwd(_pad2(chain), o)
+        hit_f = (chain_f & _fwd(pad_gs, o) & (sym == _fwd(pad_sym, o))
+                 & (occ == _fwd(pad_occ, o)))
+        hits = hits + hit_b.astype(jnp.int32) + hit_f.astype(jnp.int32)
+        chain = chain & _bwd(pad_m, o)
+        return chain, hits
+
+    _, hits = lax.fori_loop(1, window + 1, hit_step,
+                            (m, jnp.zeros(L, jnp.int32)))
+    return hits
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _pair_score_block(sim, packed, flat, window):
+    """One stream bucket: hits + one scalar scatter into the flat matrix.
+
+    ``sim`` is donated and accumulated in place; int8 adds wrap mod 256
+    (the reference's uchar counters).  ``flat`` indices are in
+    [0, rows*g_pad) by planner construction (drop row = num_reads).
+    """
+    hits = pair_hits(packed, window)
+    shape = sim.shape
+    flat_sim = sim.reshape(-1).at[flat].add(
+        hits.astype(sim.dtype), mode="promise_in_bounds")
+    return flat_sim.reshape(shape)
+
+
+def pair_score_into(sim: jax.Array, buckets, num_reads: int,
+                    g_pad: int) -> jax.Array:
+    """Accumulate all pair-stream buckets into the device matrix ``sim``.
+
+    ``buckets`` is the planner's list of ``(packed, flatidx, window)``
+    numpy tuples.  Streams are padded to PAIR_BLOCK multiples (pad rows:
+    zero byte = chain-breaking non-genome row; pad index = the num_reads
+    drop row) so compiled shape variants stay few.  Dispatches are
+    asynchronous; the returned array is a device future.
+    """
+    drop_flat = num_reads * g_pad
+    for packed, flat, window in buckets:
+        n = len(packed)
+        n_pad = max(PAIR_BLOCK, -(-n // PAIR_BLOCK) * PAIR_BLOCK)
+        if n_pad != n:
+            packed = np.pad(packed, (0, n_pad - n))
+            flat = np.pad(flat, (0, n_pad - n),
+                          constant_values=drop_flat)
+        sim = _pair_score_block(sim, jax.device_put(packed),
+                                jax.device_put(flat),
+                                jnp.int32(window))
+    return sim
+
+
+def pair_hits_host(packed: np.ndarray) -> np.ndarray:
+    """Pure-numpy oracle for :func:`pair_hits` (tests, no device).
+
+    Scans whole runs instead of a band — identical to the device kernel
+    whenever every copy is no longer than its bucket window, which the
+    planner guarantees by construction.
+    """
+    m = ((packed >> 6) & 1).astype(bool)
+    dr = ((packed >> 5) & 1).astype(bool)
+    gs = ((packed >> 4) & 1).astype(bool)
+    sym = (packed & 15).astype(np.int16)
+    n = len(packed)
+    occ = np.zeros(n, np.int32)
+    hits = np.zeros(n, np.int32)
+    doc_start = np.zeros(n, np.int64)
+    run_start = np.zeros(n, np.int64)
+    for i in range(n):
+        doc_start[i] = i if not dr[i] else doc_start[i - 1]
+        run_start[i] = i if not m[i] else run_start[i - 1]
+        k = 0
+        for j in range(doc_start[i], i):
+            k += sym[j] == sym[i]
+        occ[i] = k
+    for i in range(n):
+        if gs[i]:
+            continue
+        lo = run_start[i]
+        hi = i
+        while hi + 1 < n and m[hi + 1]:
+            hi += 1
+        for j in range(lo, hi + 1):
+            if j == i or not gs[j]:
+                continue
+            if sym[j] == sym[i] and occ[j] == occ[i]:
+                hits[i] += 1
+    return hits
