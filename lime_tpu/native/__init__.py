@@ -65,6 +65,19 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.lime_plan_pairs_packed.restype = ctypes.c_int64
+            lib.lime_plan_pairs_packed.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             lib.lime_plan_dense.restype = ctypes.c_int64
             lib.lime_plan_dense.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -266,6 +279,94 @@ def plan_pairs(lcp: np.ndarray, da: np.ndarray, ebwt: np.ndarray | None,
             buckets.append((packed[lo:hi], flatidx[lo:hi],
                             int(meta[3 + b])))
     return (buckets, dense_start[:ndense].copy(), dense_len[:ndense].copy(),
+            bad_start[:nbad].copy(), bad_len[:nbad].copy())
+
+
+def row_bits_for(num_reads: int) -> int:
+    """Smallest supported packed row width holding ``num_reads``."""
+    for w in (20, 24, 28):
+        if num_reads <= (1 << w):
+            return w
+    raise ValueError("num_reads exceeds the 28-bit packed row range")
+
+
+def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
+                      ebwt: np.ndarray | None, num_reads: int, alpha: int,
+                      sym_lut: np.ndarray, deg_lut: np.ndarray,
+                      dense_min: int = 16, chunk_pos: int = 1 << 22):
+    """One C++ pass: cluster scan + routing + packed pair-chunk emission.
+
+    The transfer-optimal pair plan (lime_plan_pairs_packed in csrc):
+    3.125 bytes/row — 5 metadata bits + a W-bit row id per row, 8 rows per
+    group — plus one u16 genome column per copy, pre-chunked on copy
+    boundaries so the device program has a handful of static shapes.
+
+    Returns ``(chunks, windows, row_bits, dense_start, dense_len,
+    bad_start, bad_len)`` where each chunk is
+    ``(bucket, n_rows, rows_u32, bits_u8, gcol_u16)`` (array views into
+    the planner's buffers) and ``windows[bucket]`` bounds that bucket's
+    copy length.  Releases the GIL for the whole pass.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    W = row_bits_for(num_reads)
+    lcp = np.ascontiguousarray(lcp, dtype=np.uint32)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    eb_ptr = 0
+    if ebwt is not None:
+        ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
+        eb_ptr = ebwt.ctypes.data
+    sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
+    n = len(lcp)
+    n_clusters_cap = n // 2 + 1
+    dense_start = np.empty(n_clusters_cap, dtype=np.int64)
+    dense_len = np.empty(n_clusters_cap, dtype=np.int64)
+    bad_start = np.empty(n_clusters_cap, dtype=np.int64)
+    bad_len = np.empty(n_clusters_cap, dtype=np.int64)
+    meta = np.zeros(9, dtype=np.int64)
+    # replication + group/chunk padding make sizes data-dependent
+    cap_w = (n + n // 8) // 8 * (W // 4) + (1 << 20)
+    cap_b = (n + n // 8) // 8 * 5 + (1 << 20)
+    cap_g = n // 2 + (1 << 16)
+    cap_c = max(64, 2 * n // chunk_pos + 16)
+    for _ in range(2):
+        rows = np.empty(cap_w, dtype=np.uint32)
+        bits = np.empty(cap_b, dtype=np.uint8)
+        gcol = np.empty(cap_g, dtype=np.uint16)
+        cmeta = np.empty(cap_c * 6, dtype=np.int64)
+        rc = lib.lime_plan_pairs_packed(
+            lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
+            dense_min, W, chunk_pos,
+            sym_lut.ctypes.data, deg_lut.ctypes.data,
+            cap_w, cap_b, cap_g, cap_c,
+            rows.ctypes.data, bits.ctypes.data, gcol.ctypes.data,
+            cmeta.ctypes.data,
+            dense_start.ctypes.data, dense_len.ctypes.data,
+            bad_start.ctypes.data, bad_len.ctypes.data, meta.ctypes.data)
+        if rc == 0:
+            break
+        if rc == 1:
+            cap_w = int(meta[0]) + 8
+            cap_b = int(meta[1]) + 8
+            cap_g = int(meta[2]) + 8
+            cap_c = int(meta[3]) + 8
+            continue
+        raise RuntimeError(f"lime_plan_pairs_packed failed: {rc}")
+    else:
+        raise RuntimeError("lime_plan_pairs_packed capacity retry failed")
+    n_chunks, ndense, nbad = int(meta[3]), int(meta[4]), int(meta[5])
+    windows = (int(meta[6]), int(meta[7]), int(meta[8]))
+    chunks = []
+    for c in range(n_chunks):
+        b, n_rows, wo, bo, go, gc = (int(v) for v in
+                                     cmeta[c * 6:c * 6 + 6])
+        chunks.append((b, n_rows, wo, bo, go, gc))
+    arrays = (rows[:int(meta[0])], bits[:int(meta[1])],
+              gcol[:int(meta[2])])
+    return (arrays, chunks, windows, W,
+            dense_start[:ndense].copy(), dense_len[:ndense].copy(),
             bad_start[:nbad].copy(), bad_len[:nbad].copy())
 
 

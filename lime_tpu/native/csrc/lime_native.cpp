@@ -10,6 +10,7 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -547,6 +548,301 @@ int64_t lime_plan_pairs(const uint32_t* lcp, const uint32_t* da,
     std::memcpy(flatidx + off, fl[b].data(),
                 fl[b].size() * sizeof(int32_t));
     off += static_cast<i64>(pk[b].size());
+  }
+  return 0;
+}
+
+namespace {
+
+// Bit-packing state for one window bucket of the packed pair stream
+// (lime_plan_pairs_packed below).  Rows are packed 8 at a time: W bits of
+// read-row id per lane (W/4 little-endian u32 words per group) plus 5
+// metadata bits per lane (5 bytes per group): sym(2) | m | docrun | side.
+struct BucketPack {
+  std::vector<uint32_t> rows;
+  std::vector<uint8_t> bits;
+  std::vector<uint16_t> gcol;
+  // per finished chunk: {n_rows, words_off, bits_off, gcol_off, gcol_cnt}
+  std::vector<std::array<i64, 5>> chunks;
+  i64 cur_rows = 0;
+  i64 cur_words_off = 0, cur_bits_off = 0, cur_gcol_off = 0;
+  uint32_t grp_rows[8];
+  uint8_t grp_bits[8];
+  int grp_n = 0;
+  i64 window = 1;
+
+  void flush_group(int W) {
+    if (grp_n == 0) return;
+    for (int j = grp_n; j < 8; j++) {  // pad lanes: side=1, m=0 (chain
+      grp_rows[j] = 0;                 // break), so pads never match
+      grp_bits[j] = 0x10;
+    }
+    const int nw = W / 4;
+    uint32_t w[8] = {0};
+    for (int j = 0; j < 8; j++) {
+      const int off = W * j;
+      w[off >> 5] |= grp_rows[j] << (off & 31);
+      if ((off & 31) + W > 32)
+        w[(off >> 5) + 1] |= grp_rows[j] >> (32 - (off & 31));
+    }
+    for (int a = 0; a < nw; a++) rows.push_back(w[a]);
+    uint8_t b[5] = {0};
+    for (int j = 0; j < 8; j++) {
+      const int off = 5 * j;
+      b[off >> 3] |= static_cast<uint8_t>(grp_bits[j] << (off & 7));
+      if ((off & 7) + 5 > 8)
+        b[(off >> 3) + 1] |= static_cast<uint8_t>(grp_bits[j] >>
+                                                  (8 - (off & 7)));
+    }
+    for (int a = 0; a < 5; a++) bits.push_back(b[a]);
+    cur_rows += 8;
+    grp_n = 0;
+  }
+
+  void finish_chunk() {
+    chunks.push_back({cur_rows,
+                      cur_words_off, cur_bits_off, cur_gcol_off,
+                      static_cast<i64>(gcol.size()) - cur_gcol_off});
+    cur_words_off = static_cast<i64>(rows.size());
+    cur_bits_off = static_cast<i64>(bits.size());
+    cur_gcol_off = static_cast<i64>(gcol.size());
+    cur_rows = 0;
+  }
+};
+
+}  // namespace
+
+// Packed-stream pair planner — the transfer-optimal variant of
+// lime_plan_pairs.  The host<->device link is the measured bottleneck of
+// the whole pipeline (the axon relay sustains tens of MB/s), so the
+// stream ships at 3.125 bytes/row instead of 5: 5 metadata bits
+// (sym(2)|m|docrun|side) + a W-bit read-row id per row, packed 8 rows per
+// group, plus one u16 genome column per copy (broadcast to rows on device
+// via a cumsum of copy-start bits + one gather).  Routing and semantics
+// are identical to lime_plan_pairs; additionally any cluster containing a
+// symbol of rank > 3 (i.e. '\0' -> rank 15 — never produced by FASTA
+// input) routes to the host scorer, since sym has 2 bits here.
+//
+// The planner also CHUNKS each bucket: copies never straddle chunks
+// (chunk cuts fall on copy boundaries, groups padded with inert side=1
+// rows), middle chunks are exactly chunk_pos rows and the final chunk of
+// each bucket is padded up to a power of two >= 65536 — so the device
+// program compiles for a handful of static shapes and no single transfer
+// exceeds ~chunk_pos * 3.2 bytes.
+//
+//   row_bits    — W in {20, 24, 28}; caller picks the smallest holding
+//                 num_reads (row ids < 2^W; genome rows carry row 0 and
+//                 side=1)
+//   chunk_pos   — rows per middle chunk (multiple of 8, e.g. 1<<22)
+//   chunk_meta  — out, 6 i64 per chunk:
+//                 [bucket, n_rows, words_off, bits_off, gcol_off, gcol_cnt]
+//   meta        — out: [needed_words, needed_bits, needed_gcol, n_chunks,
+//                 n_dense, n_bad, w0, w1, w2]
+//
+// Returns 0 on success, 1 if any capacity is insufficient (meta holds the
+// needed sizes; caller re-allocates and retries), negative on error.
+int64_t lime_plan_pairs_packed(
+    const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
+    int64_t n, int64_t num_reads, uint32_t alpha, int64_t dense_min,
+    int64_t row_bits, int64_t chunk_pos,
+    const uint8_t* sym_lut, const uint8_t* deg_lut,
+    int64_t cap_words, int64_t cap_bits, int64_t cap_gcol,
+    int64_t cap_chunks,
+    uint32_t* rows_out, uint8_t* bits_out, uint16_t* gcol_out,
+    int64_t* chunk_meta,
+    int64_t* dense_start, int64_t* dense_len,
+    int64_t* bad_start, int64_t* bad_len, int64_t* meta) {
+  if (n <= 0 || num_reads <= 0) return -1;
+  if (row_bits != 20 && row_bits != 24 && row_bits != 28) return -2;
+  if (num_reads > (static_cast<i64>(1) << row_bits)) return -3;
+  if (chunk_pos < 65536 || (chunk_pos & 7)) return -4;
+  const int W = static_cast<int>(row_bits);
+  const i64 BUCKET_CAP[3] = {16, 64, 255};
+
+  std::vector<uint8_t> m(n);
+  for (i64 i = 0; i < n; i++) m[i] = lcp[i] >= alpha;
+  m[0] = 0;  // skip-leading rule (reference src/ClusterLCP.cpp:196-202)
+  i64 n_tr = 0;
+  for (i64 i = 1; i < n; i++) n_tr += m[i] ^ m[i - 1];
+  std::vector<uint32_t> tr(n_tr + 1);
+  {
+    i64 k = 0;
+    uint32_t* trp = tr.data();
+    for (i64 i = 1; i < n; i++) {
+      trp[k] = static_cast<uint32_t>(i);
+      k += m[i] ^ m[i - 1];
+    }
+    if (m[n - 1]) tr[k++] = static_cast<uint32_t>(n);
+    n_tr = k;
+  }
+
+  BucketPack packs[3];
+  i64 nbad = 0, ndense = 0;
+  uint32_t cl_doc[256];
+  uint8_t cl_sym[256];
+  uint32_t seen_doc[256];
+  uint8_t seen_read[256];
+  const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
+
+  for (i64 p = 0; p + 1 < n_tr; p += 2) {
+    const i64 s = tr[p], e = tr[p + 1];
+    const i64 ps = s - 1;
+    const i64 len = e - ps;
+
+    i64 nr = 0;
+    for (i64 j = ps; j < e; j++) nr += da[j] < nr_u32;
+    const i64 n_g = len - nr;
+    if (nr == 0 || n_g == 0) continue;  // membership filter
+
+    bool deg = false, wide_sym = false;
+    if (ebwt) {
+      uint8_t acc = 0;
+      for (i64 j = ps; j < e; j++) {
+        acc |= deg_lut[ebwt[j]];
+        wide_sym |= (sym_lut[ebwt[j]] & 15) > 3;
+      }
+      deg = acc != 0;
+    }
+    if (!deg && !wide_sym && dense_min > 0 && n_g >= dense_min &&
+        len <= 65536) {
+      dense_start[ndense] = ps;
+      dense_len[ndense] = len;
+      ndense++;
+      continue;
+    }
+    if (deg || wide_sym || len > 255) {
+      bad_start[nbad] = ps;
+      bad_len[nbad] = len;
+      nbad++;
+      continue;
+    }
+
+    i64 n_seen = 0;
+    for (i64 j = ps; j < e; j++) {
+      const uint32_t d = da[j];
+      const uint8_t sym =
+          ebwt ? static_cast<uint8_t>(sym_lut[ebwt[j]] & 3) : 0;
+      cl_doc[j - ps] = d;
+      cl_sym[j - ps] = sym;
+      i64 t = 0;
+      while (t < n_seen && seen_doc[t] != d) t++;
+      if (t == n_seen) {
+        seen_doc[n_seen] = d;
+        seen_read[n_seen] = d < nr_u32;
+        n_seen++;
+      }
+    }
+
+    for (i64 gi = 0; gi < n_seen; gi++) {
+      if (seen_read[gi]) continue;
+      const uint32_t g = seen_doc[gi];
+      i64 g_rows = 0;
+      for (i64 j = 0; j < len; j++) g_rows += cl_doc[j] == g;
+      const i64 copy_len = nr + g_rows;
+      const int b = copy_len <= BUCKET_CAP[0] ? 0
+                    : copy_len <= BUCKET_CAP[1] ? 1 : 2;
+      BucketPack& bp = packs[b];
+      if (copy_len > bp.window) bp.window = copy_len;
+      // close the chunk before this copy if it would overflow
+      if (bp.cur_rows + bp.grp_n + copy_len > chunk_pos) {
+        bp.flush_group(W);
+        while (bp.cur_rows < chunk_pos) {
+          bp.grp_n = 8;  // one full pad group
+          for (int j = 0; j < 8; j++) {
+            bp.grp_rows[j] = 0;
+            bp.grp_bits[j] = 0x10;
+          }
+          bp.flush_group(W);
+        }
+        bp.finish_chunk();
+      }
+      bp.gcol.push_back(static_cast<uint16_t>(g - nr_u32));
+      // read groups first, genome rows last: the device recovers copy
+      // boundaries as (read-side & m=0) rows, so a copy's first row MUST
+      // be read-side (pads carry side=1 and never fire the bit)
+      bool first_of_copy = true;
+      for (int pass = 0; pass < 2; pass++) {
+        for (i64 t = 0; t < n_seen; t++) {
+          const uint32_t d = seen_doc[t];
+          const bool is_read = seen_read[t];
+          if (pass == 0 ? !is_read : (is_read || d != g)) continue;
+          const uint8_t side = is_read ? 0 : 0x10;
+          bool first_of_doc = true;
+          for (i64 j = 0; j < len; j++) {
+            if (cl_doc[j] != d) continue;
+            uint8_t b5 = static_cast<uint8_t>(cl_sym[j] | side);
+            if (!first_of_copy) b5 |= 0x04;  // m
+            if (!first_of_doc) b5 |= 0x08;   // docrun
+            first_of_copy = false;
+            first_of_doc = false;
+            if (bp.grp_n == 8) bp.flush_group(W);
+            bp.grp_rows[bp.grp_n] = is_read ? d : 0;
+            bp.grp_bits[bp.grp_n] = b5;
+            bp.grp_n++;
+          }
+        }
+      }
+    }
+  }
+
+  // final chunk per bucket: pad rows up to a power of two >= 65536
+  for (int b = 0; b < 3; b++) {
+    BucketPack& bp = packs[b];
+    bp.flush_group(W);
+    if (bp.cur_rows == 0 && bp.chunks.empty()) continue;
+    if (bp.cur_rows) {
+      i64 p2 = 65536;
+      while (p2 < bp.cur_rows) p2 <<= 1;
+      while (bp.cur_rows < p2) {
+        for (int j = 0; j < 8; j++) {
+          bp.grp_rows[j] = 0;
+          bp.grp_bits[j] = 0x10;
+        }
+        bp.grp_n = 8;
+        bp.flush_group(W);
+      }
+      bp.finish_chunk();
+    }
+  }
+
+  i64 tw = 0, tb = 0, tg = 0, tc = 0;
+  for (int b = 0; b < 3; b++) {
+    tw += static_cast<i64>(packs[b].rows.size());
+    tb += static_cast<i64>(packs[b].bits.size());
+    tg += static_cast<i64>(packs[b].gcol.size());
+    tc += static_cast<i64>(packs[b].chunks.size());
+  }
+  meta[0] = tw;
+  meta[1] = tb;
+  meta[2] = tg;
+  meta[3] = tc;
+  meta[4] = ndense;
+  meta[5] = nbad;
+  meta[6] = packs[0].window;
+  meta[7] = packs[1].window;
+  meta[8] = packs[2].window;
+  if (tw > cap_words || tb > cap_bits || tg > cap_gcol || tc > cap_chunks)
+    return 1;
+  i64 ow = 0, ob = 0, og = 0, oc = 0;
+  for (int b = 0; b < 3; b++) {
+    BucketPack& bp = packs[b];
+    std::memcpy(rows_out + ow, bp.rows.data(),
+                bp.rows.size() * sizeof(uint32_t));
+    std::memcpy(bits_out + ob, bp.bits.data(), bp.bits.size());
+    std::memcpy(gcol_out + og, bp.gcol.data(),
+                bp.gcol.size() * sizeof(uint16_t));
+    for (const auto& c : bp.chunks) {
+      chunk_meta[oc * 6 + 0] = b;
+      chunk_meta[oc * 6 + 1] = c[0];
+      chunk_meta[oc * 6 + 2] = ow + c[1];
+      chunk_meta[oc * 6 + 3] = ob + c[2];
+      chunk_meta[oc * 6 + 4] = og + c[3];
+      chunk_meta[oc * 6 + 5] = c[4];
+      oc++;
+    }
+    ow += static_cast<i64>(bp.rows.size());
+    ob += static_cast<i64>(bp.bits.size());
+    og += static_cast<i64>(bp.gcol.size());
   }
   return 0;
 }

@@ -50,6 +50,16 @@ RT_CAP = 1 << 19  # read triples per dispatch
 GT_CAP = 1 << 19  # genome triples per dispatch
 
 
+def _pad_p2(n: int, lo: int = 1 << 15) -> int:
+    """Next power of two >= n (>= lo): bounds jit shape variants while
+    keeping triple uploads near their real size (padding every chunk to
+    the full caps cost ~8 MB of tunnel per chunk regardless of content)."""
+    k = lo
+    while k < n:
+        k <<= 1
+    return k
+
+
 @functools.partial(
     jax.jit, static_argnames=("b_blk", "c_blk", "pr", "f", "g_pad"),
     donate_argnums=(0,))
@@ -109,9 +119,9 @@ def pack_chunks(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,
         if e1 == e0:
             c0 = c1
             continue
-        ridx = np.full(RT_CAP, B_BLK * PR * f, np.int32)
+        ridx = np.full(_pad_p2(r1 - r0), B_BLK * PR * f, np.int32)
         ridx[:r1 - r0] = (rb[r0:r1] - e0) * (PR * f) + rpf[r0:r1]
-        gidx = np.full(GT_CAP, C_BLK * g_pad * f, np.int32)
+        gidx = np.full(_pad_p2(g1 - g0), C_BLK * g_pad * f, np.int32)
         gidx[:g1 - g0] = (gcl[g0:g1] - c0) * (g_pad * f) + ggf[g0:g1]
         cmap_c = np.zeros(B_BLK, np.int32)
         cmap_c[:e1 - e0] = cmap[e0:e1] - c0

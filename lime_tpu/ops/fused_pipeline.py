@@ -302,12 +302,12 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
     def plan_pair(arrays):
         """Plan one collection for the pair-stream path (ops/pair_score):
-        sparse clusters -> per-genome-copy streams, genome-dense -> MXU
-        lists, degenerate/long -> host rescue."""
+        sparse clusters -> packed per-genome-copy chunks (3.125 B/row),
+        genome-dense -> MXU lists, degenerate/long -> host rescue."""
         lcp, da, ebwt = arrays
         timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
-        return native.plan_pairs(
-            lcp, da, ebwt, num_reads, config.alpha, g_pad,
+        return native.plan_pairs_packed(
+            lcp, da, ebwt, num_reads, config.alpha,
             SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8),
             dense_min=dense_min)
 
@@ -365,20 +365,21 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                 th.start()
             if pair:
                 with timer.phase("plan"):
-                    (buckets, dense_start, dense_len, bad_start,
-                     bad_len) = plan_pair(arrays)
-                if buckets:
+                    (pk_arrays, chunks, windows, row_bits, dense_start,
+                     dense_len, bad_start, bad_len) = plan_pair(arrays)
+                if chunks:
                     # async device dispatch; the G-independent kernel
                     # overlaps later collections' planning
-                    from .pair_score import pair_score_into
+                    from .pair_score import pair_score_packed_into
 
-                    nb = sum(5 * len(p) for p, _, _ in buckets)
+                    nb = sum(a.nbytes for a in pk_arrays)
                     with timer.phase("dispatch", nbytes=nb):
                         if sims_dev[fi] is None:
                             sims_dev[fi] = jnp.zeros((r_pad, g_pad),
                                                      dev_dtype)
-                        sims_dev[fi] = pair_score_into(
-                            sims_dev[fi], buckets, num_reads, g_pad)
+                        sims_dev[fi] = pair_score_packed_into(
+                            sims_dev[fi], pk_arrays, chunks, windows,
+                            row_bits, num_reads, g_pad)
             else:
                 with timer.phase("plan"):
                     (packed, doc, nc, window, bad_start, bad_len,
@@ -443,6 +444,15 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         # ship host-scored matrices as per-file 2D transfers: this relay
         # moves ~1 GB 2D arrays at full tunnel bandwidth but one
         # multi-GB buffer at ~0.1 GB/s (measured)
+
+    # All score dispatches are async: the uploads and device compute they
+    # queued complete *here*.  Without this barrier the wait would be
+    # silently attributed to the classify phase (round-2's misleading
+    # phase report).
+    with timer.phase("score_sync"):
+        live = [s for s in sims_dev if s is not None]
+        if live:
+            jax.block_until_ready(live)
     with timer.phase("classify",
                      nbytes=0 if stacked is None else stacked.nbytes):
         view_dtype = np.int32 if wide else np.int8
@@ -491,7 +501,9 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                                                    dev_dtype))
                 elif host is not None:
                     sims_dev[fi] = _add_host_matrix(sims_dev[fi], host)
-            sims_all = jnp.stack(sims_dev)
+            with timer.phase("classify_stack"):
+                sims_all = jax.block_until_ready(jnp.stack(sims_dev))
+                sims_dev = [None] * F
 
             if corr:
                 cfile = np.concatenate(
@@ -512,15 +524,19 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                 crows = ccols = np.empty(0, np.int32)
                 cvals = np.empty(0, np.int32)
 
-            types, taxid, sim = _classify_program(
-                sims_all, jnp.asarray(crows), jnp.asarray(ccols),
-                jnp.asarray(cvals), jnp.asarray(cfile), jnp.asarray(tax),
-                jnp.asarray(rank_matrix), jnp.asarray(valid_t),
-                error, norm, beta, F, config.tax_rank,
-                config.assign_higher, not wide, block)
-        result = ClassifyResult(np.asarray(types)[:num_reads],
-                                np.asarray(taxid)[:num_reads],
-                                np.asarray(sim)[:num_reads])
+            with timer.phase("classify_run"):
+                types, taxid, sim = jax.block_until_ready(
+                    _classify_program(
+                        sims_all, jnp.asarray(crows), jnp.asarray(ccols),
+                        jnp.asarray(cvals), jnp.asarray(cfile),
+                        jnp.asarray(tax), jnp.asarray(rank_matrix),
+                        jnp.asarray(valid_t), error, norm, beta, F,
+                        config.tax_rank, config.assign_higher, not wide,
+                        block))
+        with timer.phase("classify_fetch"):
+            result = ClassifyResult(np.asarray(types)[:num_reads],
+                                    np.asarray(taxid)[:num_reads],
+                                    np.asarray(sim)[:num_reads])
     timer.report()
     return result
 

@@ -48,8 +48,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Streams are padded to multiples of this so jit shape variants stay few.
-PAIR_BLOCK = 1 << 22
+# Upload chunk sizes (positions).  Streams ship to the device in fixed-size
+# chunks cut at copy boundaries: one compiled program per chunk class (no
+# per-length recompiles), uploads pipeline with device compute, and no
+# single transfer monopolizes the host<->device link (the axon relay
+# degrades badly on multi-hundred-MB buffers).
+PAIR_CHUNK = 8 << 20
+PAIR_CHUNK_SMALL = 256 << 10
 
 _PAD_W = 256  # static halo; window is traced <= 255
 
@@ -80,7 +85,12 @@ def pair_hits(packed: jnp.ndarray, window) -> jnp.ndarray:
     dr = ((packed >> 5) & 1).astype(bool)
     gs = ((packed >> 4) & 1).astype(bool)
     sym = (packed & 15).astype(jnp.int8)
-    L = packed.shape[-1]
+    return _pair_hits_core(m, dr, gs, sym, window)
+
+
+def _pair_hits_core(m, dr, gs, sym, window) -> jnp.ndarray:
+    """Occurrence pass + match pass over decoded chain/side/symbol rows."""
+    L = m.shape[-1]
 
     pad_sym = _pad2(sym, -1)  # pads never match a real symbol
     pad_dr = _pad2(dr)
@@ -130,27 +140,138 @@ def _pair_score_block(sim, packed, flat, window):
     return flat_sim.reshape(shape)
 
 
+def _unpack_bits5(bits_b: jnp.ndarray) -> jnp.ndarray:
+    """(N/8*5,) u8 groups -> (N,) u32 of 5-bit lane values."""
+    g = bits_b.reshape(-1, 5).astype(jnp.uint32)
+    lanes = []
+    for j in range(8):
+        off = 5 * j
+        a, sh = off >> 3, off & 7
+        v = g[:, a] >> sh
+        if sh + 5 > 8:
+            v = v | (g[:, a + 1] << (8 - sh))
+        lanes.append(v & 31)
+    return jnp.stack(lanes, axis=1).reshape(-1)
+
+
+def _unpack_rows(rows_w: jnp.ndarray, row_bits: int) -> jnp.ndarray:
+    """(N/8*W/4,) u32 groups -> (N,) u32 of W-bit lane values."""
+    nw = row_bits // 4
+    g = rows_w.reshape(-1, nw)
+    mask = (1 << row_bits) - 1
+    lanes = []
+    for j in range(8):
+        off = row_bits * j
+        a, sh = off >> 5, off & 31
+        v = g[:, a] >> sh
+        if sh + row_bits > 32:
+            v = v | (g[:, a + 1] << (32 - sh))
+        lanes.append(v & mask)
+    return jnp.stack(lanes, axis=1).reshape(-1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("row_bits",))
+def _pair_packed_block(sim, rows_w, bits_b, gcol, window, drop,
+                       row_bits: int):
+    """One packed chunk: unpack (pure vector shifts), score, one scatter.
+
+    The genome column is constant per copy, so it ships once per copy and
+    broadcasts to rows via a cumsum of copy-start bits + one gather (a
+    copy's first row is always read-side by construction, so pads — which
+    carry side=1 and m=0 — never increment the cumsum).
+    """
+    bits = _unpack_bits5(bits_b)
+    row = _unpack_rows(rows_w, row_bits).astype(jnp.int32)
+    sym = (bits & 3).astype(jnp.int8)
+    m = ((bits >> 2) & 1).astype(bool)
+    dr = ((bits >> 3) & 1).astype(bool)
+    gs = ((bits >> 4) & 1).astype(bool)
+    hits = _pair_hits_core(m, dr, gs, sym, window)
+    copy_start = ((~m) & (~gs)).astype(jnp.int32)
+    cidx = jnp.cumsum(copy_start) - 1
+    gc = gcol[cidx].astype(jnp.int32)
+    g_pad = sim.shape[1]
+    flat = jnp.where(gs, drop, row * g_pad + gc)
+    shape = sim.shape
+    out = sim.reshape(-1).at[flat].add(hits.astype(sim.dtype),
+                                       mode="promise_in_bounds")
+    return out.reshape(shape)
+
+
+def pair_score_packed_into(sim: jax.Array, arrays, chunks, windows,
+                           row_bits: int, num_reads: int,
+                           g_pad: int) -> jax.Array:
+    """Accumulate all packed pair chunks into the device matrix ``sim``.
+
+    ``arrays``/``chunks``/``windows``/``row_bits`` are the output of
+    native.plan_pairs_packed.  The three planner buffers upload as THREE
+    contiguous transfers per collection — the host<->device relay charges
+    a fixed ~0.1-0.3s per transfer, so per-chunk uploads are ruinous —
+    and every chunk's statically-shaped slices are taken on device.
+    Dispatches are asynchronous; the returned array is a device future.
+    """
+    rows_all, bits_all, gcol_all = arrays
+    # pad the gcol buffer so any chunk's pow2-rounded slice stays in
+    # bounds (entries past a chunk's own copies are never gathered)
+    gcol_all = np.pad(gcol_all, (0, 1 << 16))
+    d_rows = jax.device_put(rows_all)
+    d_bits = jax.device_put(bits_all)
+    d_gcol = jax.device_put(gcol_all)
+    drop = jnp.int32(num_reads * g_pad)
+    wpg = row_bits // 4  # words per 8-row group
+    for bucket, n_rows, wo, bo, go, gc in chunks:
+        gcap = 4096
+        while gcap < gc:
+            gcap <<= 1
+        sim = _pair_packed_block(
+            sim, lax.dynamic_slice_in_dim(d_rows, wo, n_rows // 8 * wpg),
+            lax.dynamic_slice_in_dim(d_bits, bo, n_rows // 8 * 5),
+            lax.dynamic_slice_in_dim(d_gcol, go, gcap),
+            jnp.int32(windows[bucket]), drop, row_bits)
+    return sim
+
+
+def _cut_at_copy(packed: np.ndarray, lo: int, hi: int) -> int:
+    """Largest copy-start index in (lo, hi] — every copy is <= 255 rows,
+    so one exists within the last 256 positions of any window."""
+    tail = packed[max(lo + 1, hi - 256):hi]
+    starts = np.flatnonzero((tail & 0x40) == 0)
+    if len(starts) == 0:  # single giant copy cannot happen by construction
+        raise AssertionError("no copy boundary within 256 rows")
+    return hi - len(tail) + int(starts[-1])
+
+
 def pair_score_into(sim: jax.Array, buckets, num_reads: int,
-                    g_pad: int) -> jax.Array:
+                    g_pad: int, timer=None) -> jax.Array:
     """Accumulate all pair-stream buckets into the device matrix ``sim``.
 
     ``buckets`` is the planner's list of ``(packed, flatidx, window)``
-    numpy tuples.  Streams are padded to PAIR_BLOCK multiples (pad rows:
-    zero byte = chain-breaking non-genome row; pad index = the num_reads
-    drop row) so compiled shape variants stay few.  Dispatches are
-    asynchronous; the returned array is a device future.
+    numpy tuples.  Each stream ships in fixed-size chunks cut at copy
+    boundaries (pad rows: zero byte = chain-breaking non-genome row; pad
+    index = the num_reads drop row).  Dispatches are asynchronous; the
+    returned array is a device future.
     """
     drop_flat = num_reads * g_pad
     for packed, flat, window in buckets:
         n = len(packed)
-        n_pad = max(PAIR_BLOCK, -(-n // PAIR_BLOCK) * PAIR_BLOCK)
-        if n_pad != n:
-            packed = np.pad(packed, (0, n_pad - n))
-            flat = np.pad(flat, (0, n_pad - n),
-                          constant_values=drop_flat)
-        sim = _pair_score_block(sim, jax.device_put(packed),
-                                jax.device_put(flat),
-                                jnp.int32(window))
+        size = PAIR_CHUNK_SMALL if n <= PAIR_CHUNK_SMALL else PAIR_CHUNK
+        lo = 0
+        while lo < n:
+            hi = min(lo + size, n)
+            if hi < n:
+                hi = _cut_at_copy(packed, lo, hi)
+            pad = size - (hi - lo)
+            chunk_p = packed[lo:hi]
+            chunk_f = flat[lo:hi]
+            if pad:
+                chunk_p = np.pad(chunk_p, (0, pad))
+                chunk_f = np.pad(chunk_f, (0, pad),
+                                 constant_values=drop_flat)
+            sim = _pair_score_block(sim, jax.device_put(chunk_p),
+                                    jax.device_put(chunk_f),
+                                    jnp.int32(window))
+            lo = hi
     return sim
 
 

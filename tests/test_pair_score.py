@@ -172,3 +172,67 @@ def test_pair_path_u8_wrap():
                                 config)
     assert want[0, 0] == reps % 256
     np.testing.assert_array_equal(got, want)
+
+
+def _ours_matrix_packed(lcp, da, ebwt, num_reads, num_genomes, config,
+                        dense_min=16):
+    """plan_pairs_packed routing: packed device kernel + exact dense/bad."""
+    from lime_tpu.ops.pair_score import pair_score_packed_into
+
+    g_pad = max(128, -(-num_genomes // 128) * 128)
+    (arrays, chunks, windows, row_bits, den_s, den_l, bad_s,
+     bad_l) = native.plan_pairs_packed(
+        lcp, da, ebwt if config.use_ebwt else None, num_reads,
+        config.alpha, SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8),
+        dense_min=dense_min, chunk_pos=1 << 16)
+    sim = jnp.zeros((num_reads + 1, g_pad), jnp.int8)
+    sim = pair_score_packed_into(sim, arrays, chunks, windows, row_bits,
+                                 num_reads, g_pad)
+    got = np.asarray(sim)[:num_reads, :num_genomes].view(np.uint8).copy()
+    for s, l in ((den_s, den_l), (bad_s, bad_l)):
+        if len(s):
+            got += score_clusters(s, l, da,
+                                  ebwt if config.use_ebwt else None,
+                                  num_reads, num_genomes, config)
+    return got, chunks
+
+
+@pytest.mark.parametrize("use_ebwt", [True, False])
+def test_packed_pair_path_matches_exact(use_ebwt):
+    rng = np.random.default_rng(13)
+    num_reads, num_genomes = 200, 50
+    lcp, da, ebwt = _random_index(rng, 30000, num_reads, num_genomes, 16)
+    config = HOST.replace(use_ebwt=use_ebwt)
+    want = _exact_matrix(lcp, da, ebwt, num_reads, num_genomes, config)
+    got, chunks = _ours_matrix_packed(lcp, da, ebwt, num_reads,
+                                      num_genomes, config)
+    assert len(chunks) >= 2  # the small chunk_pos forces multiple chunks
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_pair_path_degenerates_terminators():
+    rng = np.random.default_rng(29)
+    num_reads, num_genomes = 150, 40
+    lcp, da, ebwt = _random_index(rng, 40000, num_reads, num_genomes, 16,
+                                  deg_frac=0.01, symbols=b"ACGT$\x00")
+    config = HOST
+    want = _exact_matrix(lcp, da, ebwt, num_reads, num_genomes, config)
+    got, _ = _ours_matrix_packed(lcp, da, ebwt, num_reads, num_genomes,
+                                 config, dense_min=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_pair_path_u8_wrap():
+    reps = 300
+    lcp = np.zeros(4 * reps, np.uint32)
+    da = np.zeros(4 * reps, np.uint32)
+    ebwt = np.full(4 * reps, ord("A"), np.uint8)
+    for i in range(reps):
+        lcp[4 * i + 1] = 20
+        da[4 * i] = 0
+        da[4 * i + 1] = 1
+    config = HOST
+    want = _exact_matrix(lcp, da, ebwt, 1, 1, config)
+    got, _ = _ours_matrix_packed(lcp, da, ebwt, 1, 1, config)
+    assert want[0, 0] == reps % 256
+    np.testing.assert_array_equal(got, want)
