@@ -83,6 +83,34 @@ def _dense_chunk(sim, ridx, gidx, cmap, rid, b_blk: int, c_blk: int,
     return sim.at[rid].add(add.astype(sim.dtype), mode="drop")
 
 
+@functools.partial(
+    jax.jit, static_argnames=("b_blk", "c_blk", "pr", "f", "g_pad"),
+    donate_argnums=(0,))
+def _dense_chunk_offset(sim, ridx, gidx, cmap, rid, row_base,
+                        b_blk: int, c_blk: int, pr: int, f: int,
+                        g_pad: int):
+    """Row-blocked :func:`_dense_chunk`: rows outside the block drop.
+
+    Pad entries have all-zero phi rows, so wherever their rid lands the
+    accumulated value is zero — only real rows outside [row_base,
+    row_base + B) need the -1/drop routing.
+    """
+    one = jnp.ones((), jnp.bfloat16)
+    phi = (jnp.zeros((b_blk * pr * f,), jnp.bfloat16)
+           .at[ridx].add(one, mode="drop").reshape(b_blk, pr, f))
+    psi = (jnp.zeros((c_blk * g_pad * f,), jnp.bfloat16)
+           .at[gidx].add(one, mode="drop").reshape(c_blk, g_pad, f))
+    out = jnp.einsum("bpf,bgf->bpg", phi, psi[cmap],
+                     preferred_element_type=jnp.float32)
+    add = out.reshape(b_blk * pr, g_pad).astype(jnp.int32)
+    local = rid - row_base
+    ok = (local >= 0) & (local < sim.shape[0])
+    # drop marker past the end: jax wraps negative indices before the
+    # out-of-bounds check
+    return sim.at[jnp.where(ok, local, sim.shape[0])].add(
+        add.astype(sim.dtype), mode="drop")
+
+
 def pack_chunks(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,
                 ebwt, num_reads: int, num_genomes: int, g_pad: int):
     """Plan dense clusters and pack them into fixed-shape chunks.

@@ -268,6 +268,18 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
                                 lineage, read_len, config)
 
 
+def _hbm_budget() -> int:
+    """HBM budget (bytes) for the similarity stack (F, rows, g_pad).
+
+    ~16 GB HBM on this chip; the budget leaves room for device-resident
+    packed streams, cascade intermediates and XLA slack.  Runs whose
+    stack exceeds it switch to the row-blocked mode.
+    """
+    import os
+
+    return int(os.environ.get("LIME_HBM_BUDGET", 6 << 30))
+
+
 def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                      read_len, config) -> ClassifyResult:
     timer = PhaseTimer("fused_pipeline")
@@ -280,10 +292,21 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     g_pad = _g_pad_for(num_genomes)
     block = _classify_block_for(num_reads)
     wide = bool(config.wide_sim)
-    pair = config.pair_stream
-    if pair is None:
-        pair = (native.available()
-                and (num_reads + 1) * g_pad < 2**31 - 1)
+    pair_possible = (config.pair_stream is not False
+                     and native.available() and num_reads <= (1 << 28))
+    stack_bytes = F * r_pad * g_pad * (4 if wide else 1)
+    one_block = ((num_reads + 1) * g_pad < 2**31 - 1
+                 and stack_bytes <= _hbm_budget())
+    if pair_possible and not one_block:
+        # setB2-scale: the (F, R, G) stack exceeds HBM (or the flat
+        # scatter range exceeds int32) — stream-resident row-blocked mode
+        # (the reference's answer is 18.8 GB of host RAM for ONE matrix,
+        # src/ClusterBWT_DA.cpp:606-611; ours is bounded device blocks
+        # with the packed streams replayed from HBM per block)
+        return _run_fused_blocked(collections, num_reads, num_genomes,
+                                  lineage, read_len, config, timer)
+    pair = pair_possible if config.pair_stream is None \
+        else bool(config.pair_stream)
     g_dense = _dense_threshold_for(num_genomes, config)
     dense_min = (_dense_min_for(num_genomes, config) if not pair
                  else (16 if config.mxu_dense_min is None
@@ -537,6 +560,175 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             result = ClassifyResult(np.asarray(types)[:num_reads],
                                     np.asarray(taxid)[:num_reads],
                                     np.asarray(sim)[:num_reads])
+    timer.report()
+    return result
+
+
+def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
+                       read_len, config, timer) -> ClassifyResult:
+    """Row-blocked fused pipeline for matrices beyond HBM (setB2 scale).
+
+    Memory plan: the packed pair streams (~3.2 B/surviving position) and
+    dense-cluster chunks upload ONCE and stay device-resident; the
+    (F, B, g_pad) similarity stack is bounded by the HBM budget and the
+    streams are replayed per row block (device compute is cheap — the
+    link is the bottleneck, so re-reading HBM beats re-uploading).  Host
+    memory holds only the planner buffers — never an (R, G) matrix (the
+    reference needs numReads x numRefs bytes of RAM,
+    src/ClusterBWT_DA.cpp:606-611).
+
+    Per block: score all collections' streams + dense chunks + COO
+    corrections into the stack, run the cascade, download one (B,)
+    triplet set.  Outputs concatenate in read order.
+    """
+    import threading
+
+    from .dense_score import _dense_chunk_offset, pack_chunks
+    from .dense_score import B_BLK, C_BLK, PR, K
+    from .pair_score import pair_score_packed_from_device, pair_upload
+
+    F = len(collections)
+    g_pad = _g_pad_for(num_genomes)
+    wide = bool(config.wide_sim)
+    dev_dtype = jnp.int32 if wide else jnp.int8
+    dense_min = (16 if config.mxu_dense_min is None
+                 else config.mxu_dense_min)
+    block = _classify_block_for(num_reads)
+    bytes_per_row = F * g_pad * (4 if wide else 1) * 2  # stack + slack
+    B = max(block, _hbm_budget() // bytes_per_row // block * block)
+    n_blocks = -(-(num_reads + 1) // B)
+    f_dim = (4 if config.use_ebwt else 1) * K
+
+    def load(fasta):
+        return (open_lcp(fasta), open_da(fasta),
+                open_ebwt(fasta) if config.use_ebwt else None)
+
+    plans = []   # per file: (dev_arrays, chunks, windows, row_bits)
+    dense_dev = []  # (file, d_ridx, d_gidx, d_cmap, d_rid)
+    corr = []
+    nxt = {}
+
+    def prefetch(fi):
+        nxt[fi] = load(collections[fi])
+
+    th = None
+    with timer.phase("load"):
+        arrays = load(collections[0])
+    for fi in range(F):
+        if fi > 0:
+            with timer.phase("load"):
+                th.join()
+            arrays = nxt.pop(fi)
+        if fi + 1 < F:
+            th = threading.Thread(target=prefetch, args=(fi + 1,))
+            th.start()
+        lcp, da, ebwt = arrays
+        timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
+        with timer.phase("plan"):
+            (pk_arrays, chunks, windows, row_bits, den_s, den_l, bad_s,
+             bad_l) = native.plan_pairs_packed(
+                lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
+                _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min)
+        nb = sum(a.nbytes for a in pk_arrays)
+        with timer.phase("dispatch", nbytes=nb):
+            plans.append((pair_upload(pk_arrays, chunks), chunks, windows,
+                          row_bits))
+        if len(den_s):
+            d_chunks, left_s, left_l = pack_chunks(
+                den_s, den_l, da, ebwt, num_reads, num_genomes, g_pad)
+            with timer.phase("dense",
+                             nbytes=sum(r.nbytes + g.nbytes
+                                        for r, g, _, _ in d_chunks)):
+                for ridx, gidx, cmap_c, rid_c in d_chunks:
+                    dense_dev.append((fi, jax.device_put(ridx),
+                                      jax.device_put(gidx),
+                                      jax.device_put(cmap_c),
+                                      jax.device_put(rid_c)))
+            if len(left_s):
+                bad_s = np.concatenate([bad_s, left_s])
+                bad_l = np.concatenate([bad_l, left_l])
+        if len(bad_s):
+            total = int(np.asarray(bad_l, np.int64).sum())
+            with timer.phase("host_score", nbytes=total * 5):
+                rows, cols, vals = _rescue_sparse(
+                    bad_s, bad_l, da, ebwt, num_reads, num_genomes,
+                    config)
+                if len(rows):
+                    corr.append((fi, rows, cols, vals))
+        arrays = None
+
+    # classify constants
+    tax = np.zeros(g_pad, np.uint32)
+    tax[:num_genomes] = lineage.at_rank(config.tax_rank)
+    rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+    rank_matrix[:, :num_genomes] = lineage.taxids
+    valid_t = np.arange(g_pad) < num_genomes
+    norm = jnp.float32(np.uint32(read_len + 1 - config.alpha))
+    error = jnp.float32(config.error_tolerance)
+    beta = jnp.float32(config.beta)
+    taxd = jnp.asarray(tax)
+    rankd = jnp.asarray(rank_matrix)
+    validd = jnp.asarray(valid_t)
+
+    corr_k = 256
+    for _, rows, _, _ in corr:
+        while corr_k < len(rows):
+            corr_k <<= 1
+
+    out_t, out_x, out_s = [], [], []
+    for kb in range(n_blocks):
+        base = kb * B
+        with timer.phase("block_score"):
+            sims = []
+            for fi in range(F):
+                dev_arrays, chunks, windows, row_bits = plans[fi]
+                s = jnp.zeros((B, g_pad), dev_dtype)
+                s = pair_score_packed_from_device(
+                    s, dev_arrays, chunks, windows, row_bits, base)
+                for dfi, d_ridx, d_gidx, d_cmap, d_rid in dense_dev:
+                    if dfi == fi:
+                        s = _dense_chunk_offset(
+                            s, d_ridx, d_gidx, d_cmap, d_rid,
+                            jnp.int32(base), B_BLK, C_BLK, PR, f_dim,
+                            g_pad)
+                sims.append(s)
+            stackd = jnp.stack(sims)
+            sims = None
+        # COO corrections for this block
+        cfile = np.empty(0, np.int32)
+        crows = ccols = np.empty(0, np.int32)
+        cvals = np.empty(0, np.int32)
+        if corr:
+            fs, rs, cs, vs = [], [], [], []
+            for fi, rows, cols, vals in corr:
+                sel = (rows >= base) & (rows < base + B)
+                fs.append(np.full(int(sel.sum()), fi, np.int32))
+                rs.append((rows[sel] - base).astype(np.int32))
+                cs.append(cols[sel])
+                vs.append(vals[sel])
+            cfile = np.concatenate(fs)
+            crows = np.concatenate(rs)
+            ccols = np.concatenate(cs)
+            cvals = np.concatenate(vs)
+            pad = corr_k - len(cfile)
+            cfile = np.pad(cfile, (0, pad), constant_values=F)
+            crows = np.pad(crows, (0, pad))
+            ccols = np.pad(ccols, (0, pad))
+            cvals = np.pad(cvals, (0, pad))
+        with timer.phase("block_classify"):
+            types, taxid, sim = jax.block_until_ready(_classify_program(
+                stackd, jnp.asarray(crows), jnp.asarray(ccols),
+                jnp.asarray(cvals), jnp.asarray(cfile), taxd, rankd,
+                validd, error, norm, beta, F, config.tax_rank,
+                config.assign_higher, not wide, block))
+        with timer.phase("block_fetch"):
+            hi = min(B, num_reads - base)
+            if hi > 0:
+                out_t.append(np.asarray(types)[:hi])
+                out_x.append(np.asarray(taxid)[:hi])
+                out_s.append(np.asarray(sim)[:hi])
+    result = ClassifyResult(np.concatenate(out_t), np.concatenate(out_x),
+                            np.concatenate(out_s))
     timer.report()
     return result
 

@@ -609,7 +609,11 @@ def run_sharded(collections, output_path: str, num_reads: int,
         d_file = np.full(n_ch, F, np.int32)
         for i, (fi, ridx, gidx, cmap_c, rid_c) in \
                 enumerate(dense_chunk_list):
-            d_ridx[i], d_gidx[i] = ridx, gidx
+            # pack_chunks pads triples to powers of two, not the full
+            # caps; the scan body here needs uniform cap-sized rows (the
+            # fill values are already drop indices)
+            d_ridx[i, :len(ridx)] = ridx
+            d_gidx[i, :len(gidx)] = gidx
             d_cmap[i], d_rid[i], d_file[i] = cmap_c, rid_c, fi
         dense = (d_ridx, d_gidx, d_cmap, d_rid, d_file)
         dense_chunks = n_ch // n_shards

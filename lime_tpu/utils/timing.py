@@ -15,6 +15,12 @@ from typing import Dict
 
 logger = logging.getLogger("lime_tpu")
 
+#: Phase breakdown of the most recent completed PhaseTimer.report(), for
+#: benchmark tooling: {"phases": {label: seconds}, "gbps": {label: GB/s},
+#: "total": seconds}.  The reference offers only per-thread wtime prints;
+#: a bench that cannot see phases cannot be audited (round-2 lesson).
+LAST_RUN: dict = {}
+
 
 class PhaseTimer:
     def __init__(self, name: str):
@@ -55,6 +61,13 @@ class PhaseTimer:
 
         parts = " ".join(fmt(k, v) for k, v in self.phases.items())
         logger.info("%s: %s total=%.3fs", self.name, parts, self.total())
+        LAST_RUN.clear()
+        LAST_RUN.update({
+            "name": self.name,
+            "phases": {k: round(v, 3) for k, v in self.phases.items()},
+            "gbps": {k: round(self.gbps(k), 3) for k in self.bytes},
+            "total": round(self.total(), 3),
+        })
 
 
 def device_memory_stats() -> Dict[str, int]:
