@@ -676,141 +676,174 @@ int64_t lime_plan_pairs_packed(
     n_tr = k;
   }
 
-  BucketPack packs[3];
-  i64 nbad = 0, ndense = 0;
-  uint32_t cl_doc[256];
-  uint8_t cl_sym[256];
-  uint32_t seen_doc[256];
-  uint8_t seen_read[256];
+  // Run ranges split across OpenMP threads; each thread emits into its
+  // own bucket packs + routing lists (the reference's analogue is the
+  // per-thread byte-range decomposition, src/ClusterLCP.cpp:100-167 —
+  // here the split is at run granularity, so no straddle protocol is
+  // needed).  Thread-order concatenation keeps the output deterministic.
+  int n_threads = 1;
+#ifdef _OPENMP
+  n_threads = omp_get_max_threads();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+#endif
+  const i64 n_runs = n_tr / 2;
+  struct ThreadCtx {
+    BucketPack packs[3];
+    std::vector<i64> den_s, den_l, bd_s, bd_l;
+  };
+  std::vector<ThreadCtx> ctxs(n_threads);
   const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
 
-  for (i64 p = 0; p + 1 < n_tr; p += 2) {
-    const i64 s = tr[p], e = tr[p + 1];
-    const i64 ps = s - 1;
-    const i64 len = e - ps;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(n_threads)
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    ThreadCtx& cx = ctxs[tid];
+    const i64 r0 = n_runs * tid / n_threads;
+    const i64 r1 = n_runs * (tid + 1) / n_threads;
+    uint32_t cl_doc[256];
+    uint8_t cl_sym[256];
+    uint32_t seen_doc[256];
+    uint8_t seen_read[256];
 
-    i64 nr = 0;
-    for (i64 j = ps; j < e; j++) nr += da[j] < nr_u32;
-    const i64 n_g = len - nr;
-    if (nr == 0 || n_g == 0) continue;  // membership filter
+    for (i64 r = r0; r < r1; r++) {
+      const i64 p = 2 * r;
+      const i64 s = tr[p], e = tr[p + 1];
+      const i64 ps = s - 1;
+      const i64 len = e - ps;
 
-    bool deg = false, wide_sym = false;
-    if (ebwt) {
-      uint8_t acc = 0;
+      i64 nr = 0;
+      for (i64 j = ps; j < e; j++) nr += da[j] < nr_u32;
+      const i64 n_g = len - nr;
+      if (nr == 0 || n_g == 0) continue;  // membership filter
+
+      bool deg = false, wide_sym = false;
+      if (ebwt) {
+        uint8_t acc = 0;
+        for (i64 j = ps; j < e; j++) {
+          acc |= deg_lut[ebwt[j]];
+          wide_sym |= (sym_lut[ebwt[j]] & 15) > 3;
+        }
+        deg = acc != 0;
+      }
+      if (!deg && !wide_sym && dense_min > 0 && n_g >= dense_min &&
+          len <= 65536) {
+        cx.den_s.push_back(ps);
+        cx.den_l.push_back(len);
+        continue;
+      }
+      if (deg || wide_sym || len > 255) {
+        cx.bd_s.push_back(ps);
+        cx.bd_l.push_back(len);
+        continue;
+      }
+
+      i64 n_seen = 0;
       for (i64 j = ps; j < e; j++) {
-        acc |= deg_lut[ebwt[j]];
-        wide_sym |= (sym_lut[ebwt[j]] & 15) > 3;
+        const uint32_t d = da[j];
+        const uint8_t sym =
+            ebwt ? static_cast<uint8_t>(sym_lut[ebwt[j]] & 3) : 0;
+        cl_doc[j - ps] = d;
+        cl_sym[j - ps] = sym;
+        i64 t = 0;
+        while (t < n_seen && seen_doc[t] != d) t++;
+        if (t == n_seen) {
+          seen_doc[n_seen] = d;
+          seen_read[n_seen] = d < nr_u32;
+          n_seen++;
+        }
       }
-      deg = acc != 0;
-    }
-    if (!deg && !wide_sym && dense_min > 0 && n_g >= dense_min &&
-        len <= 65536) {
-      dense_start[ndense] = ps;
-      dense_len[ndense] = len;
-      ndense++;
-      continue;
-    }
-    if (deg || wide_sym || len > 255) {
-      bad_start[nbad] = ps;
-      bad_len[nbad] = len;
-      nbad++;
-      continue;
+
+      for (i64 gi = 0; gi < n_seen; gi++) {
+        if (seen_read[gi]) continue;
+        const uint32_t g = seen_doc[gi];
+        i64 g_rows = 0;
+        for (i64 j = 0; j < len; j++) g_rows += cl_doc[j] == g;
+        const i64 copy_len = nr + g_rows;
+        const int b = copy_len <= BUCKET_CAP[0] ? 0
+                      : copy_len <= BUCKET_CAP[1] ? 1 : 2;
+        BucketPack& bp = cx.packs[b];
+        if (copy_len > bp.window) bp.window = copy_len;
+        // close the chunk before this copy if it would overflow
+        if (bp.cur_rows + bp.grp_n + copy_len > chunk_pos) {
+          bp.flush_group(W);
+          while (bp.cur_rows < chunk_pos) {
+            bp.grp_n = 8;  // one full pad group
+            for (int j = 0; j < 8; j++) {
+              bp.grp_rows[j] = 0;
+              bp.grp_bits[j] = 0x10;
+            }
+            bp.flush_group(W);
+          }
+          bp.finish_chunk();
+        }
+        bp.gcol.push_back(static_cast<uint16_t>(g - nr_u32));
+        // read groups first, genome rows last: the device recovers copy
+        // boundaries as (read-side & m=0) rows, so a copy's first row
+        // MUST be read-side (pads carry side=1 and never fire the bit)
+        bool first_of_copy = true;
+        for (int pass = 0; pass < 2; pass++) {
+          for (i64 t = 0; t < n_seen; t++) {
+            const uint32_t d = seen_doc[t];
+            const bool is_read = seen_read[t];
+            if (pass == 0 ? !is_read : (is_read || d != g)) continue;
+            const uint8_t side = is_read ? 0 : 0x10;
+            bool first_of_doc = true;
+            for (i64 j = 0; j < len; j++) {
+              if (cl_doc[j] != d) continue;
+              uint8_t b5 = static_cast<uint8_t>(cl_sym[j] | side);
+              if (!first_of_copy) b5 |= 0x04;  // m
+              if (!first_of_doc) b5 |= 0x08;   // docrun
+              first_of_copy = false;
+              first_of_doc = false;
+              if (bp.grp_n == 8) bp.flush_group(W);
+              bp.grp_rows[bp.grp_n] = is_read ? d : 0;
+              bp.grp_bits[bp.grp_n] = b5;
+              bp.grp_n++;
+            }
+          }
+        }
+      }
     }
 
-    i64 n_seen = 0;
-    for (i64 j = ps; j < e; j++) {
-      const uint32_t d = da[j];
-      const uint8_t sym =
-          ebwt ? static_cast<uint8_t>(sym_lut[ebwt[j]] & 3) : 0;
-      cl_doc[j - ps] = d;
-      cl_sym[j - ps] = sym;
-      i64 t = 0;
-      while (t < n_seen && seen_doc[t] != d) t++;
-      if (t == n_seen) {
-        seen_doc[n_seen] = d;
-        seen_read[n_seen] = d < nr_u32;
-        n_seen++;
-      }
-    }
-
-    for (i64 gi = 0; gi < n_seen; gi++) {
-      if (seen_read[gi]) continue;
-      const uint32_t g = seen_doc[gi];
-      i64 g_rows = 0;
-      for (i64 j = 0; j < len; j++) g_rows += cl_doc[j] == g;
-      const i64 copy_len = nr + g_rows;
-      const int b = copy_len <= BUCKET_CAP[0] ? 0
-                    : copy_len <= BUCKET_CAP[1] ? 1 : 2;
-      BucketPack& bp = packs[b];
-      if (copy_len > bp.window) bp.window = copy_len;
-      // close the chunk before this copy if it would overflow
-      if (bp.cur_rows + bp.grp_n + copy_len > chunk_pos) {
-        bp.flush_group(W);
-        while (bp.cur_rows < chunk_pos) {
-          bp.grp_n = 8;  // one full pad group
+    // final chunk per bucket: pad rows up to a power of two >= 65536
+    for (int b = 0; b < 3; b++) {
+      BucketPack& bp = cx.packs[b];
+      bp.flush_group(W);
+      if (bp.cur_rows) {
+        i64 p2 = 65536;
+        while (p2 < bp.cur_rows) p2 <<= 1;
+        while (bp.cur_rows < p2) {
           for (int j = 0; j < 8; j++) {
             bp.grp_rows[j] = 0;
             bp.grp_bits[j] = 0x10;
           }
+          bp.grp_n = 8;
           bp.flush_group(W);
         }
         bp.finish_chunk();
       }
-      bp.gcol.push_back(static_cast<uint16_t>(g - nr_u32));
-      // read groups first, genome rows last: the device recovers copy
-      // boundaries as (read-side & m=0) rows, so a copy's first row MUST
-      // be read-side (pads carry side=1 and never fire the bit)
-      bool first_of_copy = true;
-      for (int pass = 0; pass < 2; pass++) {
-        for (i64 t = 0; t < n_seen; t++) {
-          const uint32_t d = seen_doc[t];
-          const bool is_read = seen_read[t];
-          if (pass == 0 ? !is_read : (is_read || d != g)) continue;
-          const uint8_t side = is_read ? 0 : 0x10;
-          bool first_of_doc = true;
-          for (i64 j = 0; j < len; j++) {
-            if (cl_doc[j] != d) continue;
-            uint8_t b5 = static_cast<uint8_t>(cl_sym[j] | side);
-            if (!first_of_copy) b5 |= 0x04;  // m
-            if (!first_of_doc) b5 |= 0x08;   // docrun
-            first_of_copy = false;
-            first_of_doc = false;
-            if (bp.grp_n == 8) bp.flush_group(W);
-            bp.grp_rows[bp.grp_n] = is_read ? d : 0;
-            bp.grp_bits[bp.grp_n] = b5;
-            bp.grp_n++;
-          }
-        }
-      }
     }
   }
 
-  // final chunk per bucket: pad rows up to a power of two >= 65536
-  for (int b = 0; b < 3; b++) {
-    BucketPack& bp = packs[b];
-    bp.flush_group(W);
-    if (bp.cur_rows == 0 && bp.chunks.empty()) continue;
-    if (bp.cur_rows) {
-      i64 p2 = 65536;
-      while (p2 < bp.cur_rows) p2 <<= 1;
-      while (bp.cur_rows < p2) {
-        for (int j = 0; j < 8; j++) {
-          bp.grp_rows[j] = 0;
-          bp.grp_bits[j] = 0x10;
-        }
-        bp.grp_n = 8;
-        bp.flush_group(W);
-      }
-      bp.finish_chunk();
+  i64 tw = 0, tb = 0, tg = 0, tc = 0, ndense = 0, nbad = 0;
+  i64 windows[3] = {1, 1, 1};
+  for (const ThreadCtx& cx : ctxs) {
+    for (int b = 0; b < 3; b++) {
+      tw += static_cast<i64>(cx.packs[b].rows.size());
+      tb += static_cast<i64>(cx.packs[b].bits.size());
+      tg += static_cast<i64>(cx.packs[b].gcol.size());
+      tc += static_cast<i64>(cx.packs[b].chunks.size());
+      if (cx.packs[b].window > windows[b]) windows[b] = cx.packs[b].window;
     }
-  }
-
-  i64 tw = 0, tb = 0, tg = 0, tc = 0;
-  for (int b = 0; b < 3; b++) {
-    tw += static_cast<i64>(packs[b].rows.size());
-    tb += static_cast<i64>(packs[b].bits.size());
-    tg += static_cast<i64>(packs[b].gcol.size());
-    tc += static_cast<i64>(packs[b].chunks.size());
+    ndense += static_cast<i64>(cx.den_s.size());
+    nbad += static_cast<i64>(cx.bd_s.size());
   }
   meta[0] = tw;
   meta[1] = tb;
@@ -818,31 +851,43 @@ int64_t lime_plan_pairs_packed(
   meta[3] = tc;
   meta[4] = ndense;
   meta[5] = nbad;
-  meta[6] = packs[0].window;
-  meta[7] = packs[1].window;
-  meta[8] = packs[2].window;
+  meta[6] = windows[0];
+  meta[7] = windows[1];
+  meta[8] = windows[2];
   if (tw > cap_words || tb > cap_bits || tg > cap_gcol || tc > cap_chunks)
     return 1;
-  i64 ow = 0, ob = 0, og = 0, oc = 0;
-  for (int b = 0; b < 3; b++) {
-    BucketPack& bp = packs[b];
-    std::memcpy(rows_out + ow, bp.rows.data(),
-                bp.rows.size() * sizeof(uint32_t));
-    std::memcpy(bits_out + ob, bp.bits.data(), bp.bits.size());
-    std::memcpy(gcol_out + og, bp.gcol.data(),
-                bp.gcol.size() * sizeof(uint16_t));
-    for (const auto& c : bp.chunks) {
-      chunk_meta[oc * 6 + 0] = b;
-      chunk_meta[oc * 6 + 1] = c[0];
-      chunk_meta[oc * 6 + 2] = ow + c[1];
-      chunk_meta[oc * 6 + 3] = ob + c[2];
-      chunk_meta[oc * 6 + 4] = og + c[3];
-      chunk_meta[oc * 6 + 5] = c[4];
-      oc++;
+  i64 ow = 0, ob = 0, og = 0, oc = 0, od = 0, ox = 0;
+  for (ThreadCtx& cx : ctxs) {
+    for (int b = 0; b < 3; b++) {
+      BucketPack& bp = cx.packs[b];
+      std::memcpy(rows_out + ow, bp.rows.data(),
+                  bp.rows.size() * sizeof(uint32_t));
+      std::memcpy(bits_out + ob, bp.bits.data(), bp.bits.size());
+      std::memcpy(gcol_out + og, bp.gcol.data(),
+                  bp.gcol.size() * sizeof(uint16_t));
+      for (const auto& c : bp.chunks) {
+        chunk_meta[oc * 6 + 0] = b;
+        chunk_meta[oc * 6 + 1] = c[0];
+        chunk_meta[oc * 6 + 2] = ow + c[1];
+        chunk_meta[oc * 6 + 3] = ob + c[2];
+        chunk_meta[oc * 6 + 4] = og + c[3];
+        chunk_meta[oc * 6 + 5] = c[4];
+        oc++;
+      }
+      ow += static_cast<i64>(bp.rows.size());
+      ob += static_cast<i64>(bp.bits.size());
+      og += static_cast<i64>(bp.gcol.size());
     }
-    ow += static_cast<i64>(bp.rows.size());
-    ob += static_cast<i64>(bp.bits.size());
-    og += static_cast<i64>(bp.gcol.size());
+    std::memcpy(dense_start + od, cx.den_s.data(),
+                cx.den_s.size() * sizeof(i64));
+    std::memcpy(dense_len + od, cx.den_l.data(),
+                cx.den_l.size() * sizeof(i64));
+    od += static_cast<i64>(cx.den_s.size());
+    std::memcpy(bad_start + ox, cx.bd_s.data(),
+                cx.bd_s.size() * sizeof(i64));
+    std::memcpy(bad_len + ox, cx.bd_l.data(),
+                cx.bd_l.size() * sizeof(i64));
+    ox += static_cast<i64>(cx.bd_s.size());
   }
   return 0;
 }

@@ -268,6 +268,33 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
                                 lineage, read_len, config)
 
 
+_d2h_warmed = False
+
+
+def _warm_d2h_async() -> None:
+    """Fire one tiny device->host transfer from a background thread.
+
+    The first d2h of a process through the axon relay pays a reverse-
+    channel setup measured at 28-316s depending on load; issuing it
+    while the pipeline is still loading/planning hides that cost (the
+    result fetch at the end otherwise absorbs it — round-3 measurement).
+    """
+    global _d2h_warmed
+    if _d2h_warmed:
+        return
+    _d2h_warmed = True
+
+    import threading
+
+    def warm():
+        try:
+            np.asarray(jax.device_put(np.zeros(8, np.float32)) * 1.0)
+        except Exception:  # pragma: no cover - warm-up is best-effort
+            pass
+
+    threading.Thread(target=warm, daemon=True).start()
+
+
 def _hbm_budget() -> int:
     """HBM budget (bytes) for the similarity stack (F, rows, g_pad).
 
@@ -366,6 +393,8 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
     with timer.phase("score"):
         import threading
+
+        _warm_d2h_async()
 
         # One-ahead IO prefetch: the next collection's index loads from
         # disk while this one plans (C++, GIL released) and host-scores
@@ -557,9 +586,14 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                         config.tax_rank, config.assign_higher, not wide,
                         block))
         with timer.phase("classify_fetch"):
-            result = ClassifyResult(np.asarray(types)[:num_reads],
-                                    np.asarray(taxid)[:num_reads],
-                                    np.asarray(sim)[:num_reads])
+            with timer.phase("fetch_types"):
+                t_h = np.asarray(types)
+            with timer.phase("fetch_tax"):
+                x_h = np.asarray(taxid)
+            with timer.phase("fetch_sim"):
+                s_h = np.asarray(sim)
+            result = ClassifyResult(t_h[:num_reads], x_h[:num_reads],
+                                    s_h[:num_reads])
     timer.report()
     return result
 
@@ -582,6 +616,8 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     triplet set.  Outputs concatenate in read order.
     """
     import threading
+
+    _warm_d2h_async()
 
     from .dense_score import _dense_chunk_offset, pack_chunks
     from .dense_score import B_BLK, C_BLK, PR, K
