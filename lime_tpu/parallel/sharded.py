@@ -483,7 +483,22 @@ def run_sharded(collections, output_path: str, num_reads: int,
     The multi-chip counterpart of ops.fused_pipeline.run_fused — handles the
     reference's full input domain (IUPAC-degenerate symbols and clusters up
     to 65,536 via the host-rescue COO path).
+
+    Under ``jax.distributed`` (process_count() > 1) this dispatches to the
+    multi-process path: every process plans only ITS index range
+    (parallel.multihost.plan_host_range — the reference's per-thread
+    byte-range decomposition, src/ClusterLCP.cpp:100-167, lifted to
+    hosts), assembles its local shards with
+    jax.make_array_from_process_local_data, and the same SPMD program
+    runs over the global mesh.
     """
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        return _run_sharded_multiprocess(collections, output_path,
+                                         num_reads, num_genomes,
+                                         lineage_path, read_len, config,
+                                         mesh)
     from ..config import DEFAULT_CONFIG
     from ..constants import SYMBOL_RANK_LUT
     from ..formats.arrays import open_da, open_ebwt, open_lcp
@@ -632,6 +647,151 @@ def run_sharded(collections, output_path: str, num_reads: int,
                          np.asarray(taxid)[:num_reads],
                          np.asarray(sim)[:num_reads])
     if output_path:
+        from ..pipeline import _write_csv_block
+
+        with open(output_path, "w") as out:
+            out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
+            _write_csv_block(out, 0, res)
+    return res
+
+
+def _allgather_np(x: np.ndarray, pad_to: int, fill) -> np.ndarray:
+    """Gather variable-length per-process 1D arrays (padded, then stacked)."""
+    from jax.experimental import multihost_utils
+
+    padded = np.full(pad_to, fill, dtype=x.dtype)
+    padded[:len(x)] = x
+    return np.asarray(multihost_utils.process_allgather(padded))
+
+
+def _run_sharded_multiprocess(collections, output_path: str,
+                              num_reads: int, num_genomes: int,
+                              lineage_path: str, read_len: int,
+                              config=None, mesh=None):
+    """Multi-process run_sharded: per-host range planning + local shards.
+
+    Every process memmaps and plans only its position range of each
+    collection (straddle-extended at the boundaries), host-rescues its
+    own inexpressible clusters, and contributes its padded local block of
+    the global (F, N) stream via make_array_from_process_local_data.  The
+    small COO corrections and windows are allgathered so replicated
+    inputs are identical everywhere.  Outputs (row-sharded over dp) are
+    allgathered back; only process 0 writes the CSV.  Assignments are
+    bit-identical to the single-process run: the per-host concatenated
+    cluster set equals the whole-file plan (tests/test_multihost.py) and
+    score accumulation commutes.
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..formats.lineage import read_lineage
+    from ..ops.classify_ops import ClassifyResult
+    from ..ops.fused_pipeline import _rescue_sparse
+    from .mesh import make_mesh
+    from .multihost import plan_host_range
+    from jax.experimental import multihost_utils
+
+    config = config or DEFAULT_CONFIG
+    pid, nproc = jax.process_index(), jax.process_count()
+    if mesh is None:
+        mesh = make_mesh(len(jax.devices()))
+    F = len(collections)
+    if F not in (2, 4):
+        raise ValueError("sharded run takes 2 or 4 collections")
+    lineage = read_lineage(lineage_path)
+    n_shards = mesh.shape["sp"] * mesh.shape["dp"]
+    if n_shards % nproc:
+        raise ValueError("device count must divide evenly across "
+                         "processes")
+    local_shards = n_shards // nproc
+    g_pad = max(128, -(-num_genomes // 128) * 128)
+
+    packs, docs = [], []
+    windows = 1
+    corr_local = []
+    for fi, fasta in enumerate(collections):
+        packed, doc, window, bad_s, bad_l, _ = plan_host_range(
+            fasta, num_reads, num_genomes, config.alpha, nproc, pid,
+            use_ebwt=config.use_ebwt, g_dense=0, use_u16=False)
+        packs.append(packed)
+        docs.append(doc.astype(np.int32))
+        windows = max(windows, window)
+        if len(bad_s):
+            from ..formats.arrays import open_da, open_ebwt
+
+            da = open_da(fasta, mmap=True)
+            ebwt = (open_ebwt(fasta, mmap=True) if config.use_ebwt
+                    else None)
+            rows, cols, vals = _rescue_sparse(
+                bad_s, bad_l, da, ebwt, num_reads, num_genomes, config)
+            if len(rows):
+                corr_local.append((np.full(len(rows), fi, np.int32),
+                                   rows, cols, vals))
+
+    # agree on the global layout: window max + uniform local block length
+    local_len = max(len(p) for p in packs)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.array([local_len, windows], np.int64)))
+    L_loc = int(sizes[:, 0].max())
+    windows = int(sizes[:, 1].max())
+    L_loc = max(L_loc, local_shards * _HALO_L_SPMD)
+    L_loc = -(-L_loc // local_shards) * local_shards
+    packed = np.zeros((F, L_loc), np.uint8)
+    doc = np.full((F, L_loc), num_reads + num_genomes, np.int32)
+    for fi in range(F):
+        packed[fi, :len(packs[fi])] = packs[fi]
+        doc[fi, :len(docs[fi])] = docs[fi]
+
+    # gather the (small) COO corrections so replicated inputs match
+    if corr_local:
+        lf = np.concatenate([c[0] for c in corr_local])
+        lr = np.concatenate([c[1] for c in corr_local]).astype(np.int32)
+        lc = np.concatenate([c[2] for c in corr_local]).astype(np.int32)
+        lv = np.concatenate([c[3] for c in corr_local]).astype(np.int32)
+    else:
+        lf = lr = lc = lv = np.empty(0, np.int32)
+    n_corr = int(np.asarray(multihost_utils.process_allgather(
+        np.array([len(lf)], np.int64))).max())
+    if n_corr:
+        k = max(256, 1 << int(np.ceil(np.log2(max(n_corr, 2)))))
+        cfile = _allgather_np(lf, k, F).reshape(-1)
+        crows = _allgather_np(lr, k, 0).reshape(-1)
+        ccols = _allgather_np(lc, k, 0).reshape(-1)
+        cvals = _allgather_np(lv, k, 0).reshape(-1)
+        max_corr = len(cfile)
+    else:
+        cfile = crows = ccols = np.empty(0, np.int32)
+        cvals = np.empty(0, np.int32)
+        max_corr = 0
+
+    tax = np.zeros(g_pad, np.uint32)
+    tax[:num_genomes] = lineage.at_rank(config.tax_rank)
+    rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+    rank_matrix[:, :num_genomes] = lineage.taxids
+    valid_t = np.arange(g_pad) < num_genomes
+
+    from jax.sharding import NamedSharding
+
+    stream_sharding = NamedSharding(mesh, P(None, ("sp", "dp")))
+    packed_g = jax.make_array_from_process_local_data(
+        stream_sharding, packed, (F, L_loc * nproc))
+    doc_g = jax.make_array_from_process_local_data(
+        stream_sharding, doc, (F, L_loc * nproc))
+
+    step = make_sharded_pipeline(
+        mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
+        read_len=read_len, alpha=config.alpha, beta=config.beta,
+        tax_rank=config.tax_rank, assign_higher=config.assign_higher,
+        wide_sim=config.wide_sim, max_corr=max_corr)
+    types, taxid, sim = step(packed_g, doc_g, windows, cfile, crows,
+                             ccols, cvals, tax, rank_matrix, valid_t,
+                             jnp.float32(config.error_tolerance))
+    types = np.asarray(multihost_utils.process_allgather(types,
+                                                         tiled=True))
+    taxid = np.asarray(multihost_utils.process_allgather(taxid,
+                                                         tiled=True))
+    sim = np.asarray(multihost_utils.process_allgather(sim, tiled=True))
+    res = ClassifyResult(types[:num_reads], taxid[:num_reads],
+                         sim[:num_reads])
+    if output_path and pid == 0:
         from ..pipeline import _write_csv_block
 
         with open(output_path, "w") as out:

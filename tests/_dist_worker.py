@@ -1,0 +1,34 @@
+"""Worker process for the 2-process distributed run_sharded test.
+
+Usage: python -m tests._dist_worker <pid> <nproc> <port> <root>
+The dataset (4 collections + lineage) must already exist under <root>.
+Process 0 writes <root>/dist.csv.
+"""
+
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    root = sys.argv[4]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
+                               process_id=pid)
+
+    from lime_tpu.config import LimeConfig
+    from lime_tpu.parallel.sharded import run_sharded
+
+    meta = open(f"{root}/meta.txt").read().split()
+    num_reads, num_genomes, read_len = (int(v) for v in meta)
+    cols = [f"{root}/col_{t}.fasta" for t in ("1F", "1RC", "2F", "2RC")]
+    run_sharded(cols, f"{root}/dist.csv", num_reads, num_genomes,
+                f"{root}/LineageFile.csv", read_len,
+                LimeConfig(executor="tpu"))
+    print(f"[worker {pid}] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

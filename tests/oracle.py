@@ -28,10 +28,43 @@ BUILD_DIR = os.path.join(
     "oracle_" + hashlib.sha1(" ".join(_COMMON).encode()).hexdigest()[:8])
 
 
-def _variant_name(src: str, defines: Dict[str, int]) -> str:
+def _variant_name(src: str, defines: Dict[str, int],
+                  wide: bool = False) -> str:
     base = os.path.splitext(os.path.basename(src))[0]
     suffix = "".join(f"_{k}{v}" for k, v in sorted(defines.items()))
-    return base + suffix
+    return base + suffix + ("_wide" if wide else "")
+
+
+def _wide_src_dir() -> str:
+    """Reference sources with dataTypeNumSim flipped to 1 (u32 counters).
+
+    The knob is a bare ``#define`` in Tools.h (reference src/Tools.h:51),
+    not a -D flag, so the wide oracle compiles from a patched copy under
+    build/ (never part of the repository — build/ is gitignored; the
+    sources exist only as compiler input for the golden binaries).
+    """
+    import shutil
+
+    dst = os.path.join(BUILD_DIR, "src_wide")
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(REFERENCE_SRC):
+        if not (name.endswith(".cpp") or name.endswith(".h")):
+            continue
+        src_p = os.path.join(REFERENCE_SRC, name)
+        dst_p = os.path.join(dst, name)
+        if (os.path.exists(dst_p)
+                and os.path.getmtime(dst_p) > os.path.getmtime(src_p)):
+            continue
+        if name == "Tools.h":
+            with open(src_p) as f:
+                text = f.read()
+            text = text.replace("#define dataTypeNumSim 0",
+                                "#define dataTypeNumSim 1")
+            with open(dst_p, "w") as f:
+                f.write(text)
+        else:
+            shutil.copy2(src_p, dst_p)
+    return dst
 
 
 @dataclasses.dataclass
@@ -42,16 +75,20 @@ class OracleBinaries:
     def build(cls) -> "OracleBinaries":
         os.makedirs(BUILD_DIR, exist_ok=True)
         targets = [
-            ("ClusterLCP.cpp", {}),
-            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 1}),
-            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 0}),
-            ("ClusterBWT_DA.cpp", {"BIN": 0, "EBWT": 1}),
-            ("Classify.cpp", {"BIN": 1, "HIGHER": 0}),
-            ("Classify.cpp", {"BIN": 1, "HIGHER": 1}),
+            ("ClusterLCP.cpp", {}, False),
+            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 1}, False),
+            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 0}, False),
+            ("ClusterBWT_DA.cpp", {"BIN": 0, "EBWT": 1}, False),
+            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 1}, True),
+            ("Classify.cpp", {"BIN": 1, "HIGHER": 0}, False),
+            ("Classify.cpp", {"BIN": 1, "HIGHER": 1}, False),
+            ("Classify.cpp", {"BIN": 0, "HIGHER": 0}, False),
         ]
-        for src, defines in targets:
-            out = os.path.join(BUILD_DIR, _variant_name(src, defines))
-            src_path = os.path.join(REFERENCE_SRC, src)
+        for src, defines, wide in targets:
+            out = os.path.join(BUILD_DIR,
+                               _variant_name(src, defines, wide))
+            src_dir = _wide_src_dir() if wide else REFERENCE_SRC
+            src_path = os.path.join(src_dir, src)
             if (os.path.exists(out)
                     and os.path.getmtime(out) > os.path.getmtime(src_path)):
                 continue
@@ -77,15 +114,19 @@ class OracleBinaries:
                          cwd=os.path.dirname(fasta))
 
     def cluster_bwt(self, fasta: str, read_len: int, beta: float,
-                    threads: int = 1, ebwt: int = 1, bin_out: int = 1) -> str:
-        name = _variant_name("ClusterBWT_DA.cpp", {"BIN": bin_out, "EBWT": ebwt})
+                    threads: int = 1, ebwt: int = 1, bin_out: int = 1,
+                    wide: bool = False) -> str:
+        name = _variant_name("ClusterBWT_DA.cpp",
+                             {"BIN": bin_out, "EBWT": ebwt}, wide)
         return self._run(name, [fasta, read_len, beta, threads],
                          cwd=os.path.dirname(fasta))
 
     def classify(self, res_prefixes: Sequence[str], num_reads: int,
                  num_genomes: int, output: str, lineage: str, tax_rank: int,
-                 threads: int = 1, higher: int = 0) -> str:
-        name = _variant_name("Classify.cpp", {"BIN": 1, "HIGHER": higher})
+                 threads: int = 1, higher: int = 0,
+                 bin_in: int = 1) -> str:
+        name = _variant_name("Classify.cpp",
+                             {"BIN": bin_in, "HIGHER": higher})
         args = [len(res_prefixes), *res_prefixes, num_reads, num_genomes,
                 output, lineage, tax_rank, threads]
         return self._run(name, args, cwd=os.path.dirname(output))
