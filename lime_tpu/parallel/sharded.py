@@ -630,6 +630,7 @@ def run_sharded(collections, output_path: str, num_reads: int,
             d_ridx[i, :len(ridx)] = ridx
             d_gidx[i, :len(gidx)] = gidx
             d_cmap[i], d_rid[i], d_file[i] = cmap_c, rid_c, fi
+            dense_chunk_list[i] = None  # free as copied (host RAM)
         dense = (d_ridx, d_gidx, d_cmap, d_rid, d_file)
         dense_chunks = n_ch // n_shards
     step = make_sharded_pipeline(
