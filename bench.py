@@ -244,13 +244,17 @@ def _device_tests() -> str:
     chip claim at a time, and a second process would block on the claim
     until timeout while this process still holds the device.
     """
+    import contextlib
+
     import pytest
 
     os.environ["LIME_TEST_TPU"] = "1"
-    rc = pytest.main(["tests/test_pallas_kernel.py",
-                      "tests/test_pair_score.py",
-                      "tests/test_fused_pipeline.py",
-                      "-q", "--no-header", "-x", "-p", "no:cacheprovider"])
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+        rc = pytest.main(["tests/test_pallas_kernel.py",
+                          "tests/test_pair_score.py",
+                          "tests/test_fused_pipeline.py",
+                          "-q", "--no-header", "-x",
+                          "-p", "no:cacheprovider"])
     status = "passed" if rc == 0 else "FAILED"
     _log(f"bench: device tests {status} (pallas + pair + fused subsets, "
          f"rc={rc})")

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import os
+
 import numpy as np
 
 from ..constants import DT_PAIR_SIM, DT_RES_POS
@@ -84,9 +86,19 @@ def write_results_txt(res_prefix: str, norm_rows: np.ndarray, beta: float) -> No
             f.write("\n")
 
 
-def read_results_bin(res_prefix: str, num_reads: int):
-    """Load a .res.bin/.pos pair into (pos array, record array)."""
-    recs = np.fromfile(res_prefix + ".bin", dtype=DT_PAIR_SIM)
+def read_results_bin(res_prefix: str, num_reads: int, mmap: bool = False):
+    """Load a .res.bin/.pos pair into (pos array, record array).
+
+    ``mmap=True`` maps the record stream instead of reading it whole —
+    the setB2-scale path (multi-GB .res.bin): the blockwise classify then
+    faults in only each read block's record range (record offsets are
+    monotone in read id — the encoder writes rows in order, reference
+    src/ClusterBWT_DA.cpp:361-450).
+    """
+    if mmap and os.path.getsize(res_prefix + ".bin"):
+        recs = np.memmap(res_prefix + ".bin", dtype=DT_PAIR_SIM, mode="r")
+    else:
+        recs = np.fromfile(res_prefix + ".bin", dtype=DT_PAIR_SIM)
     pos = np.fromfile(res_prefix + ".pos", dtype=DT_RES_POS)
     if len(pos) != num_reads:
         raise ValueError(

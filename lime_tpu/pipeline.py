@@ -156,7 +156,9 @@ def classify(res_prefixes: Sequence[str], num_reads: int, num_genomes: int,
 
     with timer.phase("load"):
         if config.binary_results:
-            files = [read_results_bin(p, num_reads) for p in res_prefixes]
+            files = [read_results_bin(p, num_reads,
+                                      mmap=num_reads > (1 << 22))
+                     for p in res_prefixes]
         else:
             txt = [read_results_txt(p) for p in res_prefixes]
 
