@@ -248,15 +248,29 @@ def _gcol_padded(gcol_all: np.ndarray, chunks) -> np.ndarray:
 
 
 def pair_upload(arrays, chunks):
-    """Ship one collection's three planner buffers to the device.
+    """Ship one collection's planner buffers to the device as ONE blob.
 
-    Returns device arrays for :func:`pair_score_packed_from_device` —
-    used by the row-blocked mode, where the stream is replayed once per
-    row block and so must live in HBM across blocks.
+    The host<->device relay charges a fixed ~0.1-0.3 s per transfer, so
+    rows/bits/gcol concatenate into a single aligned u8 buffer; the
+    device views each section by slice + bitcast.  Returns
+    ``(d_rows_u32, d_bits_u8, d_gcol_u16)`` device views for
+    :func:`pair_score_packed_from_device`.
     """
     rows_all, bits_all, gcol_all = arrays
-    return (jax.device_put(rows_all), jax.device_put(bits_all),
-            jax.device_put(_gcol_padded(gcol_all, chunks)))
+    gcol_all = _gcol_padded(gcol_all, chunks)
+    nb_rows = rows_all.nbytes
+    nb_bits = -(-bits_all.nbytes // 4) * 4  # keep gcol 2-byte aligned
+    blob = np.zeros(nb_rows + nb_bits + gcol_all.nbytes, np.uint8)
+    blob[:nb_rows] = rows_all.view(np.uint8)
+    blob[nb_rows:nb_rows + bits_all.nbytes] = bits_all
+    blob[nb_rows + nb_bits:] = gcol_all.view(np.uint8)
+    d = jax.device_put(blob)
+    d_rows = lax.bitcast_convert_type(
+        d[:nb_rows].reshape(-1, 4), jnp.uint32)
+    d_bits = d[nb_rows:nb_rows + bits_all.nbytes]
+    d_gcol = lax.bitcast_convert_type(
+        d[nb_rows + nb_bits:].reshape(-1, 2), jnp.uint16)
+    return d_rows, d_bits, d_gcol
 
 
 def pair_score_packed_from_device(sim: jax.Array, dev_arrays, chunks,
@@ -289,10 +303,7 @@ def pair_score_packed_into(sim: jax.Array, arrays, chunks, windows,
     and every chunk's statically-shaped slices are taken on device.
     Dispatches are asynchronous; the returned array is a device future.
     """
-    rows_all, bits_all, gcol_all = arrays
-    d_rows = jax.device_put(rows_all)
-    d_bits = jax.device_put(bits_all)
-    d_gcol = jax.device_put(_gcol_padded(gcol_all, chunks))
+    d_rows, d_bits, d_gcol = pair_upload(arrays, chunks)
     drop = jnp.int32(num_reads * g_pad)
     wpg = row_bits // 4  # words per 8-row group
     for bucket, n_rows, wo, bo, go, gc in chunks:
