@@ -302,6 +302,23 @@ def main() -> None:
                             ours_runs=3)
     paper = _bench_config(ds_paper, config, "paper", ref_runs=1,
                           ours_runs=3)
+
+    # accuracy vs planted ground truth (the reference evaluates accuracy
+    # only in its papers; here it's part of the bench)
+    from lime_tpu.utils.evaluate import evaluate
+    from tests.synth_big import compute_truth
+
+    truth_arr = compute_truth(PAPER_DIR, ds_paper.num_reads,
+                              ds_paper.num_genomes, 8000)
+    truth = {i: (None if g < 0 else 1000 + int(g))
+             for i, g in enumerate(truth_arr)}
+    acc = evaluate(os.path.join(PAPER_DIR, "bench_ours_paper.csv"), truth)
+    _log(f"bench[paper]: accuracy {acc.summary()}")
+    paper["accuracy"] = {
+        "sensitivity": round(acc.sensitivity, 4),
+        "precision": round(acc.precision, 4),
+        "f1": round(acc.f1, 4),
+    }
     mem = memory_report().replace("\n", "; ")
     _log(f"bench: memory {mem}")
     device_tests = _device_tests()

@@ -51,17 +51,15 @@ def _mutate(rng, arr2bit, rate):
     return arr2bit
 
 
-def make_big_dataset(root: str, num_pairs: int, num_genomes: int,
-                     genome_len: int, read_len: int = 100,
-                     insert_len: int = 250, seed: int = 17,
-                     mutation_rate: float = 0.01,
-                     negative_fraction: float = 0.05,
-                     conserved_frac: float = 0.1,
-                     group_size: int = 64,
-                     chunk: int = 1 << 16) -> BigDataset:
-    rng = np.random.default_rng(seed)
-    os.makedirs(root, exist_ok=True)
+def _synth_sequences(rng, num_pairs, num_genomes, genome_len, read_len,
+                     insert_len, mutation_rate, negative_fraction,
+                     conserved_frac, group_size, chunk):
+    """All sequence synthesis (shared rng-draw order with compute_truth).
 
+    Returns (genomes_flat_2bit, reads1, reads2, truth) where truth[i] is
+    the origin genome of positive read pair i and -1 for the shuffled
+    negative controls.
+    """
     # --- genomes (2-bit codes) with group-conserved blocks -----------------
     genomes = rng.integers(0, 4, size=(num_genomes, genome_len),
                            dtype=np.uint8)
@@ -79,6 +77,7 @@ def make_big_dataset(root: str, num_pairs: int, num_genomes: int,
     n_pos = num_pairs - int(num_pairs * negative_fraction)
     reads1 = np.empty((num_pairs, read_len), np.uint8)
     reads2 = np.empty((num_pairs, read_len), np.uint8)
+    truth = np.full(num_pairs, -1, np.int64)
     flat = genomes.reshape(-1)
     for lo in range(0, n_pos, chunk):
         hi = min(n_pos, lo + chunk)
@@ -93,10 +92,56 @@ def make_big_dataset(root: str, num_pairs: int, num_genomes: int,
         r2 = _mutate(rng, frag[:, -read_len:].copy(), mutation_rate)
         reads1[lo:hi] = r1
         reads2[lo:hi] = _COMP[r2[:, ::-1]]  # mate 2 reported on F strand
+        truth[lo:hi] = origin
     reads1[n_pos:] = rng.integers(0, 4, size=(num_pairs - n_pos, read_len),
                                   dtype=np.uint8)
     reads2[n_pos:] = rng.integers(0, 4, size=(num_pairs - n_pos, read_len),
                                   dtype=np.uint8)
+    return flat, reads1, reads2, truth
+
+
+def compute_truth(root: str, num_pairs: int, num_genomes: int,
+                  genome_len: int, read_len: int = 100,
+                  insert_len: int = 250, seed: int = 17,
+                  mutation_rate: float = 0.01,
+                  negative_fraction: float = 0.05,
+                  conserved_frac: float = 0.1, group_size: int = 64,
+                  chunk: int = 1 << 16) -> np.ndarray:
+    """Ground-truth origins for a dataset, loading or replaying.
+
+    Datasets generated before truth.npy existed are recovered by
+    replaying the exact rng draw sequence of the generator (cheap — the
+    expensive part of generation is index construction, which this
+    skips); the result is cached next to the dataset.
+    """
+    path = os.path.join(root, "truth.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    rng = np.random.default_rng(seed)
+    _, _, _, truth = _synth_sequences(
+        rng, num_pairs, num_genomes, genome_len, read_len, insert_len,
+        mutation_rate, negative_fraction, conserved_frac, group_size,
+        chunk)
+    np.save(path, truth)
+    return truth
+
+
+def make_big_dataset(root: str, num_pairs: int, num_genomes: int,
+                     genome_len: int, read_len: int = 100,
+                     insert_len: int = 250, seed: int = 17,
+                     mutation_rate: float = 0.01,
+                     negative_fraction: float = 0.05,
+                     conserved_frac: float = 0.1,
+                     group_size: int = 64,
+                     chunk: int = 1 << 16) -> BigDataset:
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+
+    flat, reads1, reads2, truth = _synth_sequences(
+        rng, num_pairs, num_genomes, genome_len, read_len, insert_len,
+        mutation_rate, negative_fraction, conserved_frac, group_size,
+        chunk)
+    np.save(os.path.join(root, "truth.npy"), truth)
 
     # --- lineage ------------------------------------------------------------
     lineage_path = os.path.join(root, "LineageFile.csv")
