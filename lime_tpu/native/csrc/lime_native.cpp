@@ -812,13 +812,17 @@ int64_t lime_plan_pairs_packed(
       }
     }
 
-    // final chunk per bucket: pad rows up to a power of two >= 65536
+    // final chunk per bucket: pad rows up to a power of two >= 65536, or
+    // past 512K to the next 512K multiple (bounds both the pad waste and
+    // the number of compiled shape variants)
     for (int b = 0; b < 3; b++) {
       BucketPack& bp = cx.packs[b];
       bp.flush_group(W);
       if (bp.cur_rows) {
         i64 p2 = 65536;
-        while (p2 < bp.cur_rows) p2 <<= 1;
+        while (p2 < bp.cur_rows && p2 < (1 << 19)) p2 <<= 1;
+        if (bp.cur_rows > p2)
+          p2 = (bp.cur_rows + (1 << 19) - 1) >> 19 << 19;
         while (bp.cur_rows < p2) {
           for (int j = 0; j < 8; j++) {
             bp.grp_rows[j] = 0;
