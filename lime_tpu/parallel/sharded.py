@@ -799,3 +799,254 @@ def _run_sharded_multiprocess(collections, output_path: str,
             out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
             _write_csv_block(out, 0, res)
     return res
+
+
+def make_pair_sharded_pipeline(mesh, num_files: int, num_reads: int,
+                               num_refs: int, read_len: int, alpha: int,
+                               beta: float, tax_rank: int,
+                               assign_higher: bool, row_bits: int,
+                               chunk_rows: int, n_chunks: int,
+                               wide_sim: bool = False, max_corr: int = 0,
+                               gcap: int = 4096):
+    """SPMD pair-stream pipeline: chunk-parallel scoring, no halos.
+
+    The packed pair planner emits copy-aligned chunks (a cluster copy
+    never straddles a chunk), so the SPMD decomposition is simply
+    "chunks round-robined over devices" — the banded path's ppermute
+    halo exchange is unnecessary by construction; the straddle protocol
+    lives entirely in the host-range planning.  Each device scans its
+    chunks accumulating a partial (F, r_pad, G_pad) int8 matrix (wrap =
+    the reference's uchar counters), then psum_scatter over dp hands
+    every dp group its read-row block, psum over sp merges chunk shards,
+    and the blockwise cascade runs on local rows.
+
+    Inputs to the returned ``step``: uniform (n_chunks, ...) arrays —
+    ``rows_w`` u32, ``bits`` u8, ``gcol`` u16 (each chunk's gcol padded
+    to ``gcap``), ``cfile`` i32 (collection of each chunk; >= num_files
+    marks a pad chunk), ``cwin`` i32 per-chunk window — sharded
+    P(("sp", "dp")) on the chunk axis — plus the COO corrections and
+    classify constants of the banded step.  Note: each device holds a
+    full (F, r_pad, G_pad) partial; matrices beyond HBM need the
+    row-blocked single-chip mode or a dp-sliced variant (future work).
+    """
+    from ..ops.classify_tpu import blockwise_cascade, classify_block_size
+    from ..ops.pair_score import _pair_hits_core, _unpack_bits5, _unpack_rows
+
+    sp = mesh.shape["sp"]
+    dp = mesh.shape["dp"]
+    n_shards = sp * dp
+    if n_chunks % n_shards:
+        raise ValueError("n_chunks must be padded to the shard count")
+    g_pad = max(128, -(-num_refs // 128) * 128)
+    block = classify_block_size(-(-(num_reads + 1) // dp))
+    rows_local = -(-(num_reads + 1) // (dp * block)) * block
+    r_pad = rows_local * dp
+    acc_dtype = jnp.int32 if wide_sim else jnp.int8
+    beta_f = jnp.float32(beta)
+    drop = jnp.int32(num_reads * g_pad)
+
+    def shard_fn(rows_w, bits_b, gcol, cfile, cwin, crows, ccols, cvals,
+                 corr_file, tax, rank_matrix, valid_t, error, norm):
+        dp_i = lax.axis_index("dp")
+
+        def chunk_body(partial, inp):
+            rw, bb, gc, fidx, win = inp
+            bits = _unpack_bits5(bb)
+            row = _unpack_rows(rw, row_bits).astype(jnp.int32)
+            sym = (bits & 3).astype(jnp.int8)
+            m = ((bits >> 2) & 1).astype(bool)
+            dr = ((bits >> 3) & 1).astype(bool)
+            gs = ((bits >> 4) & 1).astype(bool)
+            hits = _pair_hits_core(m, dr, gs, sym, win)
+            copy_start = ((~m) & (~gs)).astype(jnp.int32)
+            cidx = jnp.cumsum(copy_start) - 1
+            gcol_v = gc[jnp.clip(cidx, 0, gc.shape[0] - 1)].astype(
+                jnp.int32)
+            flat = jnp.where(gs, drop, row * g_pad + gcol_v)
+            f_safe = jnp.minimum(fidx, num_files)  # pad chunks -> drop
+            partial = partial.reshape(num_files + 1, -1).at[
+                jnp.full_like(flat, f_safe), flat].add(
+                hits.astype(acc_dtype), mode="drop")
+            return partial.reshape(num_files + 1, r_pad, g_pad), 0
+
+        partial = jnp.zeros((num_files + 1, r_pad, g_pad), acc_dtype)
+        partial, _ = lax.scan(chunk_body, partial,
+                              (rows_w, bits_b, gcol, cfile, cwin))
+        partial = partial[:num_files]
+
+        # Row-shard over dp, then merge chunk shards over sp.  int8
+        # partial sums wrap mod 256 = the reference's uchar SimArray.
+        sims = lax.psum_scatter(partial, "dp", scatter_dimension=1,
+                                tiled=True)
+        sims = lax.psum(sims, "sp")
+
+        if max_corr:
+            local_r = crows - dp_i * rows_local
+            ok = (local_r >= 0) & (local_r < rows_local)
+            sims = sims.at[
+                jnp.where(ok, corr_file, num_files), local_r, ccols].add(
+                cvals.astype(sims.dtype), mode="drop")
+
+        return blockwise_cascade(sims, tax, rank_matrix, valid_t, error,
+                                 norm, beta_f, num_files, tax_rank,
+                                 assign_higher, not wide_sim, block)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(("sp", "dp")), P(("sp", "dp")), P(("sp", "dp")),
+                  P(("sp", "dp")), P(("sp", "dp")),
+                  P(), P(), P(), P(),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+    norm = jnp.float32(np.uint32(read_len + 1 - alpha))
+
+    def step(rows_w, bits_b, gcol, cfile, cwin, crows, ccols, cvals,
+             corr_file, tax, rank_matrix, valid_t, error):
+        return jitted(rows_w, bits_b, gcol, cfile, cwin, crows, ccols,
+                      cvals, corr_file, tax, rank_matrix, valid_t,
+                      error, norm)
+
+    return step
+
+
+# 5-byte group pattern of 8 packed pad rows (bits5 = 0x10: side=1, m=0 —
+# inert: chains broken, scatter routed to the drop plane)
+_PAD_GROUP_BITS = np.zeros(5, np.uint8)
+for _j in range(8):
+    _off = 5 * _j
+    _PAD_GROUP_BITS[_off >> 3] |= (16 << (_off & 7)) & 0xFF
+    if (_off & 7) + 5 > 8:
+        _PAD_GROUP_BITS[(_off >> 3) + 1] |= 16 >> (8 - (_off & 7))
+
+
+def run_sharded_pairs(collections, output_path: str, num_reads: int,
+                      num_genomes: int, lineage_path: str, read_len: int,
+                      config=None, mesh=None):
+    """End-to-end SPMD run on the pair-stream engine (chunk-parallel).
+
+    The packed planner's chunks are copy-aligned, so they round-robin
+    over the mesh with no halo exchange; genome-dense and rescue
+    clusters fold in as exact-host COO corrections (the dense share of
+    positions is small — the MXU path stays a single-chip feature for
+    now).  Outputs are bit-identical to the banded engine and the host
+    pipeline.
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..constants import SYMBOL_RANK_LUT
+    from ..formats.arrays import open_da, open_ebwt, open_lcp
+    from ..formats.lineage import read_lineage
+    from ..ops.classify_ops import ClassifyResult
+    from ..ops.fused_pass import _DEGENERATE_BYTE
+    from ..ops.fused_pipeline import _rescue_sparse
+    from .. import native
+    from .mesh import make_mesh
+
+    config = config or DEFAULT_CONFIG
+    if not native.available():
+        raise RuntimeError("pair engine requires the native planner")
+    if mesh is None:
+        mesh = make_mesh(len(jax.devices()))
+    F = len(collections)
+    if F not in (2, 4):
+        raise ValueError("sharded run takes 2 or 4 collections")
+    lineage = read_lineage(lineage_path)
+    n_shards = mesh.shape["sp"] * mesh.shape["dp"]
+    g_pad = max(128, -(-num_genomes // 128) * 128)
+    W = native.row_bits_for(num_reads)
+
+    all_chunks = []  # (file, window, rows_view, bits_view, gcol_view)
+    corr = []
+    for fi, fasta in enumerate(collections):
+        lcp = open_lcp(fasta, mmap=True)
+        da = open_da(fasta, mmap=True)
+        ebwt = open_ebwt(fasta, mmap=True) if config.use_ebwt else None
+        (arrays, chunks, windows, w_f, den_s, den_l, bad_s,
+         bad_l) = native.plan_pairs_packed(
+            lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
+            _DEGENERATE_BYTE.astype(np.uint8), dense_min=16)
+        assert w_f == W
+        if len(den_s):  # genome-dense clusters: exact host COO here
+            bad_s = np.concatenate([bad_s, den_s])
+            bad_l = np.concatenate([bad_l, den_l])
+        rows_all, bits_all, gcol_all = arrays
+        wpg = W // 4
+        for b, n_rows, wo, bo, go, gc in chunks:
+            all_chunks.append(
+                (fi, windows[b],
+                 rows_all[wo:wo + n_rows // 8 * wpg],
+                 bits_all[bo:bo + n_rows // 8 * 5],
+                 gcol_all[go:go + gc]))
+        if len(bad_s):
+            rows, cols, vals = _rescue_sparse(
+                bad_s, bad_l, da, ebwt, num_reads, num_genomes, config)
+            if len(rows):
+                corr.append((fi, rows, cols, vals))
+
+    # uniform chunk arrays, padded to the shard count
+    cw = max((len(r) for _, _, r, _, _ in all_chunks), default=8)
+    cb = cw // (W // 4) * 5
+    gcap = 4096
+    for _, _, _, _, g in all_chunks:
+        while gcap < len(g):
+            gcap <<= 1
+    n_ch = max(n_shards, -(-len(all_chunks) // n_shards) * n_shards)
+    rows_w = np.zeros((n_ch, cw), np.uint32)
+    bits_b = np.tile(_PAD_GROUP_BITS, (n_ch, cb // 5))
+    gcol = np.zeros((n_ch, gcap), np.uint16)
+    cfile = np.full(n_ch, F, np.int32)
+    cwin = np.ones(n_ch, np.int32)
+    for i, (fi, win, r, b, g) in enumerate(all_chunks):
+        rows_w[i, :len(r)] = r
+        nb5 = len(b)
+        bits_b[i, :nb5] = b
+        gcol[i, :len(g)] = g
+        cfile[i] = fi
+        cwin[i] = win
+
+    if corr:
+        cfile_c = np.concatenate(
+            [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
+        crows = np.concatenate([r for _, r, _, _ in corr]).astype(np.int32)
+        ccols = np.concatenate([c for _, _, c, _ in corr]).astype(np.int32)
+        cvals = np.concatenate([v for _, _, _, v in corr]).astype(np.int32)
+        k = max(256, 1 << int(np.ceil(np.log2(len(cfile_c)))))
+        pad = k - len(cfile_c)
+        cfile_c = np.pad(cfile_c, (0, pad), constant_values=F)
+        crows = np.pad(crows, (0, pad))
+        ccols = np.pad(ccols, (0, pad))
+        cvals = np.pad(cvals, (0, pad))
+        max_corr = k
+    else:
+        cfile_c = crows = ccols = np.empty(0, np.int32)
+        cvals = np.empty(0, np.int32)
+        max_corr = 0
+
+    tax = np.zeros(g_pad, np.uint32)
+    tax[:num_genomes] = lineage.at_rank(config.tax_rank)
+    rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+    rank_matrix[:, :num_genomes] = lineage.taxids
+    valid_t = np.arange(g_pad) < num_genomes
+
+    step = make_pair_sharded_pipeline(
+        mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
+        read_len=read_len, alpha=config.alpha, beta=config.beta,
+        tax_rank=config.tax_rank, assign_higher=config.assign_higher,
+        row_bits=W, chunk_rows=cw // (W // 4) * 8, n_chunks=n_ch,
+        wide_sim=config.wide_sim, max_corr=max_corr, gcap=gcap)
+    types, taxid, sim = step(rows_w, bits_b, gcol, cfile, cwin,
+                             crows, ccols, cvals, cfile_c, tax,
+                             rank_matrix, valid_t,
+                             jnp.float32(config.error_tolerance))
+    res = ClassifyResult(np.asarray(types)[:num_reads],
+                         np.asarray(taxid)[:num_reads],
+                         np.asarray(sim)[:num_reads])
+    if output_path:
+        from ..pipeline import _write_csv_block
+
+        with open(output_path, "w") as out:
+            out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
+            _write_csv_block(out, 0, res)
+    return res

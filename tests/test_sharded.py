@@ -198,3 +198,24 @@ def test_sharded_mxu_dense_matches_host(dataset, tmp_path):
                     mesh=mesh)
         with open(host_csv) as f1, open(shard_csv) as f2:
             assert f1.read() == f2.read(), f"mesh {shape}"
+
+
+def test_pair_engine_sharded_matches_host(dataset, tmp_path):
+    """The chunk-parallel pair-stream SPMD engine == the host pipeline."""
+    from lime_tpu.parallel.sharded import run_sharded_pairs
+
+    ds = dataset
+    host_csv = str(tmp_path / "host_pair.csv")
+    run_paired(ds.collections, host_csv, ds.num_reads, ds.num_genomes,
+               ds.lineage_path, ds.read_len, LimeConfig(executor="host"))
+    for shape in ((8, 1), (2, 4), (1, 1)):
+        mesh = make_mesh(shape[0] * shape[1], shape=shape)
+        out_csv = str(tmp_path / f"pair_{shape[0]}x{shape[1]}.csv")
+        run_sharded_pairs(ds.collections, out_csv, ds.num_reads,
+                          ds.num_genomes, ds.lineage_path, ds.read_len,
+                          mesh=mesh)
+        with open(host_csv) as f:
+            want = f.read()
+        with open(out_csv) as f:
+            got = f.read()
+        assert got == want, f"mesh {shape} diverged"
