@@ -293,7 +293,8 @@ def row_bits_for(num_reads: int) -> int:
 def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
                       ebwt: np.ndarray | None, num_reads: int, alpha: int,
                       sym_lut: np.ndarray, deg_lut: np.ndarray,
-                      dense_min: int = 16, chunk_pos: int = 1 << 22):
+                      dense_min: int = 16, chunk_pos: int = 1 << 22,
+                      num_refs: int | None = None):
     """One C++ pass: cluster scan + routing + packed pair-chunk emission.
 
     The transfer-optimal pair plan (lime_plan_pairs_packed in csrc):
@@ -310,6 +311,10 @@ def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    if num_refs is not None and num_refs > (1 << 16):
+        # the per-copy genome column is u16; callers route wider genome
+        # sets to the banded path (the reference's largest DB is 3,423)
+        raise ValueError("packed pair streams support <= 65536 genomes")
     W = row_bits_for(num_reads)
     lcp = np.ascontiguousarray(lcp, dtype=np.uint32)
     da = np.ascontiguousarray(da, dtype=np.uint32)

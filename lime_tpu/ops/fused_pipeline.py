@@ -320,7 +320,8 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     block = _classify_block_for(num_reads)
     wide = bool(config.wide_sim)
     pair_possible = (config.pair_stream is not False
-                     and native.available() and num_reads <= (1 << 28))
+                     and native.available() and num_reads <= (1 << 28)
+                     and num_genomes <= (1 << 16))
     stack_bytes = F * r_pad * g_pad * (4 if wide else 1)
     one_block = ((num_reads + 1) * g_pad < 2**31 - 1
                  and stack_bytes <= _hbm_budget())
@@ -365,7 +366,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         return native.plan_pairs_packed(
             lcp, da, ebwt, num_reads, config.alpha,
             SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8),
-            dense_min=dense_min)
+            dense_min=dense_min, num_refs=num_genomes)
 
     def plan(arrays):
         """Plan one collection (legacy banded/density routing).
@@ -672,7 +673,8 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             (pk_arrays, chunks, windows, row_bits, den_s, den_l, bad_s,
              bad_l) = native.plan_pairs_packed(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
-                _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min)
+                _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
+                num_refs=num_genomes)
         nb = sum(a.nbytes for a in pk_arrays)
         with timer.phase("dispatch", nbytes=nb):
             plans.append((pair_upload(pk_arrays, chunks), chunks, windows,
@@ -693,6 +695,16 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
                 bad_l = np.concatenate([bad_l, left_l])
         if len(bad_s):
             total = int(np.asarray(bad_l, np.int64).sum())
+            if total > (_COO_POSITION_CAP << 6):
+                # the blocked mode's memory promise is "no (R, G) host
+                # matrix"; a pathologically degenerate index whose rescue
+                # COO would approach that is refused with a clear error
+                # rather than OOMing mid-run
+                raise ValueError(
+                    f"{total} positions route to the exact host scorer "
+                    "(IUPAC-degenerate or >255-row clusters) — beyond "
+                    "the row-blocked mode's sparse-correction budget. "
+                    "Classify this input with the staged host pipeline.")
             with timer.phase("host_score", nbytes=total * 5):
                 rows, cols, vals = _rescue_sparse(
                     bad_s, bad_l, da, ebwt, num_reads, num_genomes,
@@ -714,10 +726,12 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     rankd = jnp.asarray(rank_matrix)
     validd = jnp.asarray(valid_t)
 
+    # one static COO capacity for every block: the total across ALL
+    # collections bounds any single block's concatenated count
     corr_k = 256
-    for _, rows, _, _ in corr:
-        while corr_k < len(rows):
-            corr_k <<= 1
+    corr_total = sum(len(rows) for _, rows, _, _ in corr)
+    while corr_k < corr_total:
+        corr_k <<= 1
 
     out_t, out_x, out_s = [], [], []
     for kb in range(n_blocks):

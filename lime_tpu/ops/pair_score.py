@@ -341,7 +341,11 @@ def pair_score_into(sim: jax.Array, buckets, num_reads: int,
     drop_flat = num_reads * g_pad
     for packed, flat, window in buckets:
         n = len(packed)
-        size = PAIR_CHUNK_SMALL if n <= PAIR_CHUNK_SMALL else PAIR_CHUNK
+        # pow2 ladder between the two sizes bounds pad waste for
+        # mid-sized streams (a 300K stream must not pad to 8M rows)
+        size = PAIR_CHUNK_SMALL
+        while size < n and size < PAIR_CHUNK:
+            size <<= 1
         lo = 0
         while lo < n:
             hi = min(lo + size, n)

@@ -805,9 +805,8 @@ def make_pair_sharded_pipeline(mesh, num_files: int, num_reads: int,
                                num_refs: int, read_len: int, alpha: int,
                                beta: float, tax_rank: int,
                                assign_higher: bool, row_bits: int,
-                               chunk_rows: int, n_chunks: int,
-                               wide_sim: bool = False, max_corr: int = 0,
-                               gcap: int = 4096):
+                               n_chunks: int, wide_sim: bool = False,
+                               max_corr: int = 0):
     """SPMD pair-stream pipeline: chunk-parallel scoring, no halos.
 
     The packed pair planner emits copy-aligned chunks (a cluster copy
@@ -955,7 +954,13 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
     lineage = read_lineage(lineage_path)
     n_shards = mesh.shape["sp"] * mesh.shape["dp"]
     g_pad = max(128, -(-num_genomes // 128) * 128)
+    if (num_reads + 1) * g_pad > 2**31 - 1:
+        raise ValueError("num_reads * g_pad exceeds the int32 scatter "
+                         "range; shard reads across hosts or use the "
+                         "banded engine")
     W = native.row_bits_for(num_reads)
+    dense_min = (16 if config.mxu_dense_min is None
+                 else config.mxu_dense_min)
 
     all_chunks = []  # (file, window, rows_view, bits_view, gcol_view)
     corr = []
@@ -966,7 +971,8 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
         (arrays, chunks, windows, w_f, den_s, den_l, bad_s,
          bad_l) = native.plan_pairs_packed(
             lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
-            _DEGENERATE_BYTE.astype(np.uint8), dense_min=16)
+            _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
+            num_refs=num_genomes)
         assert w_f == W
         if len(den_s):  # genome-dense clusters: exact host COO here
             bad_s = np.concatenate([bad_s, den_s])
@@ -1034,8 +1040,8 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
         mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
         read_len=read_len, alpha=config.alpha, beta=config.beta,
         tax_rank=config.tax_rank, assign_higher=config.assign_higher,
-        row_bits=W, chunk_rows=cw // (W // 4) * 8, n_chunks=n_ch,
-        wide_sim=config.wide_sim, max_corr=max_corr, gcap=gcap)
+        row_bits=W, n_chunks=n_ch,
+        wide_sim=config.wide_sim, max_corr=max_corr)
     types, taxid, sim = step(rows_w, bits_b, gcol, cfile, cwin,
                              crows, ccols, cvals, cfile_c, tax,
                              rank_matrix, valid_t,

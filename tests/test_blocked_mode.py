@@ -49,7 +49,7 @@ def blocked_dataset(tmp_path_factory):
     cols = []
     for i, tag in enumerate(("1F", "1RC", "2F", "2RC")):
         path = str(root / f"col_{tag}.fasta")
-        _write_collection(path, rng, deg_frac=0.002 if i == 0 else 0.0)
+        _write_collection(path, rng, deg_frac=0.002 if i < 2 else 0.0)
         cols.append(path)
     lineage = str(root / "LineageFile.csv")
     with open(lineage, "w") as f:
