@@ -248,29 +248,17 @@ def _gcol_padded(gcol_all: np.ndarray, chunks) -> np.ndarray:
 
 
 def pair_upload(arrays, chunks):
-    """Ship one collection's planner buffers to the device as ONE blob.
+    """Ship one collection's three planner buffers to the device.
 
-    The host<->device relay charges a fixed ~0.1-0.3 s per transfer, so
-    rows/bits/gcol concatenate into a single aligned u8 buffer; the
-    device views each section by slice + bitcast.  Returns
-    ``(d_rows_u32, d_bits_u8, d_gcol_u16)`` device views for
-    :func:`pair_score_packed_from_device`.
+    Three transfers, not one blob: a device-side slice+bitcast of a
+    concatenated u8 buffer looks cheaper (the relay charges ~0.1-0.3 s
+    per transfer) but XLA tiles a ``(n, 4)`` u8 reshape to ``(n, 128)``
+    lanes — a 32x HBM inflation that OOMs at setB2 scale (measured:
+    a 26 GB allocation for an 811 MB buffer).
     """
     rows_all, bits_all, gcol_all = arrays
-    gcol_all = _gcol_padded(gcol_all, chunks)
-    nb_rows = rows_all.nbytes
-    nb_bits = -(-bits_all.nbytes // 4) * 4  # keep gcol 2-byte aligned
-    blob = np.zeros(nb_rows + nb_bits + gcol_all.nbytes, np.uint8)
-    blob[:nb_rows] = rows_all.view(np.uint8)
-    blob[nb_rows:nb_rows + bits_all.nbytes] = bits_all
-    blob[nb_rows + nb_bits:] = gcol_all.view(np.uint8)
-    d = jax.device_put(blob)
-    d_rows = lax.bitcast_convert_type(
-        d[:nb_rows].reshape(-1, 4), jnp.uint32)
-    d_bits = d[nb_rows:nb_rows + bits_all.nbytes]
-    d_gcol = lax.bitcast_convert_type(
-        d[nb_rows + nb_bits:].reshape(-1, 2), jnp.uint16)
-    return d_rows, d_bits, d_gcol
+    return (jax.device_put(rows_all), jax.device_put(bits_all),
+            jax.device_put(_gcol_padded(gcol_all, chunks)))
 
 
 def pair_score_packed_from_device(sim: jax.Array, dev_arrays, chunks,
