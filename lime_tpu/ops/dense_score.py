@@ -84,16 +84,19 @@ def _dense_chunk(sim, ridx, gidx, cmap, rid, b_blk: int, c_blk: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("b_blk", "c_blk", "pr", "f", "g_pad"),
+    jax.jit, static_argnames=("b_blk", "c_blk", "pr", "f", "g_pad",
+                              "fidx"),
     donate_argnums=(0,))
-def _dense_chunk_offset(sim, ridx, gidx, cmap, rid, row_base,
+def _dense_chunk_offset(stack, ridx, gidx, cmap, rid, row_base,
                         b_blk: int, c_blk: int, pr: int, f: int,
-                        g_pad: int):
-    """Row-blocked :func:`_dense_chunk`: rows outside the block drop.
+                        g_pad: int, fidx: int):
+    """Row-blocked :func:`_dense_chunk` into the (F, B, g_pad) stack.
 
     Pad entries have all-zero phi rows, so wherever their rid lands the
     accumulated value is zero — only real rows outside [row_base,
-    row_base + B) need the -1/drop routing.
+    row_base + B) need the past-the-end drop routing (jax wraps negative
+    indices before the out-of-bounds check).  Scattering straight into
+    file plane ``fidx`` avoids per-file block buffers.
     """
     one = jnp.ones((), jnp.bfloat16)
     phi = (jnp.zeros((b_blk * pr * f,), jnp.bfloat16)
@@ -104,11 +107,9 @@ def _dense_chunk_offset(sim, ridx, gidx, cmap, rid, row_base,
                      preferred_element_type=jnp.float32)
     add = out.reshape(b_blk * pr, g_pad).astype(jnp.int32)
     local = rid - row_base
-    ok = (local >= 0) & (local < sim.shape[0])
-    # drop marker past the end: jax wraps negative indices before the
-    # out-of-bounds check
-    return sim.at[jnp.where(ok, local, sim.shape[0])].add(
-        add.astype(sim.dtype), mode="drop")
+    ok = (local >= 0) & (local < stack.shape[1])
+    return stack.at[fidx, jnp.where(ok, local, stack.shape[1])].add(
+        add.astype(stack.dtype), mode="drop")
 
 
 def pack_chunks(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,

@@ -737,21 +737,21 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     for kb in range(n_blocks):
         base = kb * B
         with timer.phase("block_score"):
-            sims = []
+            # one (F, B, g_pad) accumulator, scored in place per file —
+            # per-file buffers + jnp.stack would transiently double the
+            # stack's HBM (OOM at setB2 scale)
+            stackd = jnp.zeros((F, B, g_pad), dev_dtype)
             for fi in range(F):
                 dev_arrays, chunks, windows, row_bits = plans[fi]
-                s = jnp.zeros((B, g_pad), dev_dtype)
-                s = pair_score_packed_from_device(
-                    s, dev_arrays, chunks, windows, row_bits, base)
+                stackd = pair_score_packed_from_device(
+                    stackd, dev_arrays, chunks, windows, row_bits, base,
+                    fi)
                 for dfi, d_ridx, d_gidx, d_cmap, d_rid in dense_dev:
                     if dfi == fi:
-                        s = _dense_chunk_offset(
-                            s, d_ridx, d_gidx, d_cmap, d_rid,
+                        stackd = _dense_chunk_offset(
+                            stackd, d_ridx, d_gidx, d_cmap, d_rid,
                             jnp.int32(base), B_BLK, C_BLK, PR, f_dim,
-                            g_pad)
-                sims.append(s)
-            stackd = jnp.stack(sims)
-            sims = None
+                            g_pad, fi)
         # COO corrections for this block
         cfile = np.empty(0, np.int32)
         crows = ccols = np.empty(0, np.int32)

@@ -199,39 +199,6 @@ def _pair_packed_block(sim, rows_w, bits_b, gcol, window, drop,
     return out.reshape(shape)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("row_bits",))
-def _pair_packed_block_offset(sim, rows_w, bits_b, gcol, window, row_base,
-                              row_bits: int):
-    """Row-blocked variant: scatter only rows in [row_base, row_base+B).
-
-    For collections whose (rows, g_pad) matrix exceeds HBM, the stream
-    stays device-resident and is replayed once per row block; rows
-    outside the block scatter in mode='drop' via a -1 index.  ``sim`` is
-    the (B, g_pad) block accumulator (no drop row).
-    """
-    bits = _unpack_bits5(bits_b)
-    row = _unpack_rows(rows_w, row_bits).astype(jnp.int32)
-    sym = (bits & 3).astype(jnp.int8)
-    m = ((bits >> 2) & 1).astype(bool)
-    dr = ((bits >> 3) & 1).astype(bool)
-    gs = ((bits >> 4) & 1).astype(bool)
-    hits = _pair_hits_core(m, dr, gs, sym, window)
-    copy_start = ((~m) & (~gs)).astype(jnp.int32)
-    cidx = jnp.cumsum(copy_start) - 1
-    gc = gcol[cidx].astype(jnp.int32)
-    g_pad = sim.shape[1]
-    local = row - row_base
-    ok = (~gs) & (local >= 0) & (local < sim.shape[0])
-    # drop marker must be PAST the end: jax wraps negative indices before
-    # the out-of-bounds check, so -1 would scatter into the last cell
-    flat = jnp.where(ok, local * g_pad + gc, sim.shape[0] * g_pad)
-    shape = sim.shape
-    out = sim.reshape(-1).at[flat].add(hits.astype(sim.dtype),
-                                       mode="drop")
-    return out.reshape(shape)
-
-
 def _gcol_padded(gcol_all: np.ndarray, chunks) -> np.ndarray:
     """Pad the gcol buffer so every chunk's pow2-rounded device slice
     stays in bounds (entries past a chunk's own copies are never
@@ -261,22 +228,54 @@ def pair_upload(arrays, chunks):
             jax.device_put(_gcol_padded(gcol_all, chunks)))
 
 
-def pair_score_packed_from_device(sim: jax.Array, dev_arrays, chunks,
-                                  windows, row_bits: int,
-                                  row_base: int) -> jax.Array:
-    """Accumulate one row block from a device-resident packed stream."""
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("row_bits", "fidx"))
+def _pair_packed_block_offset_stack(stack, rows_w, bits_b, gcol, window,
+                                    row_base, fidx: int, row_bits: int):
+    """Row-blocked scatter straight into the (F, B, g_pad) stack.
+
+    Avoids per-file block buffers + a jnp.stack copy (which doubles the
+    stack's HBM transiently — an OOM at setB2 scale).  The flat index
+    stays within one file's B * g_pad range (int32-safe); the file
+    coordinate is a static scatter dimension.
+    """
+    bits = _unpack_bits5(bits_b)
+    row = _unpack_rows(rows_w, row_bits).astype(jnp.int32)
+    sym = (bits & 3).astype(jnp.int8)
+    m = ((bits >> 2) & 1).astype(bool)
+    dr = ((bits >> 3) & 1).astype(bool)
+    gs = ((bits >> 4) & 1).astype(bool)
+    hits = _pair_hits_core(m, dr, gs, sym, window)
+    copy_start = ((~m) & (~gs)).astype(jnp.int32)
+    cidx = jnp.cumsum(copy_start) - 1
+    gc = gcol[cidx].astype(jnp.int32)
+    F, B, g_pad = stack.shape
+    local = row - row_base
+    ok = (~gs) & (local >= 0) & (local < B)
+    flat = jnp.where(ok, local * g_pad + gc, B * g_pad)
+    out = stack.reshape(F, -1).at[fidx, flat].add(
+        hits.astype(stack.dtype), mode="drop")
+    return out.reshape(F, B, g_pad)
+
+
+def pair_score_packed_from_device(stack: jax.Array, dev_arrays, chunks,
+                                  windows, row_bits: int, row_base: int,
+                                  fidx: int) -> jax.Array:
+    """Accumulate one (file, row block) from a device-resident stream."""
     d_rows, d_bits, d_gcol = dev_arrays
     wpg = row_bits // 4
     for bucket, n_rows, wo, bo, go, gc in chunks:
         gcap = 4096
         while gcap < gc:
             gcap <<= 1
-        sim = _pair_packed_block_offset(
-            sim, lax.dynamic_slice_in_dim(d_rows, wo, n_rows // 8 * wpg),
+        stack = _pair_packed_block_offset_stack(
+            stack,
+            lax.dynamic_slice_in_dim(d_rows, wo, n_rows // 8 * wpg),
             lax.dynamic_slice_in_dim(d_bits, bo, n_rows // 8 * 5),
             lax.dynamic_slice_in_dim(d_gcol, go, gcap),
-            jnp.int32(windows[bucket]), jnp.int32(row_base), row_bits)
-    return sim
+            jnp.int32(windows[bucket]), jnp.int32(row_base), fidx,
+            row_bits)
+    return stack
 
 
 def pair_score_packed_into(sim: jax.Array, arrays, chunks, windows,
