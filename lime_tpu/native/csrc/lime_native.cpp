@@ -463,7 +463,8 @@ int64_t lime_plan_pairs(const uint32_t* lcp, const uint32_t* da,
       for (i64 j = ps; j < e; j++) acc |= deg_lut[ebwt[j]];
       deg = acc != 0;
     }
-    if (!deg && dense_min > 0 && n_g >= dense_min && len <= 65536) {
+    if (!deg && dense_min > 0 && len <= 65536 &&
+        (n_g >= dense_min || len > 255)) {
       dense_start[ndense] = ps;
       dense_len[ndense] = len;
       ndense++;
@@ -732,8 +733,11 @@ int64_t lime_plan_pairs_packed(
         }
         deg = acc != 0;
       }
-      if (!deg && !wide_sym && dense_min > 0 && n_g >= dense_min &&
-          len <= 65536) {
+      if (!deg && !wide_sym && dense_min > 0 && len <= 65536 &&
+          (n_g >= dense_min || len > 255)) {
+        // genome-dense clusters AND deep-coverage long clusters (>255
+        // rows, e.g. high-coverage read sets) ride the MXU path; only
+        // degenerates and len > 65536 need the exact host scorer
         cx.den_s.push_back(ps);
         cx.den_l.push_back(len);
         continue;

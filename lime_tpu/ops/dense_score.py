@@ -42,7 +42,7 @@ from ..constants import SYMBOL_RANK_LUT
 
 K = 8        # occurrence-depth cap per (document, symbol)
 PR = 8       # read lanes per matmul entry
-MAX_ENT = 256  # entries per cluster (=> up to 2048 distinct reads)
+MAX_ENT = 2048  # entries per cluster (=> up to 16384 distinct reads)
 
 B_BLK = 2048      # entries per device dispatch
 C_BLK = 1024      # clusters per device dispatch
