@@ -36,6 +36,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .. import native
 from ..constants import SYMBOL_RANK_LUT
@@ -110,6 +111,54 @@ def _dense_chunk_offset(stack, ridx, gidx, cmap, rid, row_base,
     ok = (local >= 0) & (local < stack.shape[1])
     return stack.at[fidx, jnp.where(ok, local, stack.shape[1])].add(
         add.astype(stack.dtype), mode="drop")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b_blk", "c_blk", "pr", "f", "g_pad",
+                              "fidx"),
+    donate_argnums=(0,))
+def _dense_scan_class(stack, ridxs, gidxs, cmaps, rids, row_base,
+                      b_blk: int, c_blk: int, pr: int, f: int,
+                      g_pad: int, fidx: int):
+    """Row-blocked dense scoring of a whole same-shape chunk class in ONE
+    dispatch (lax.scan) — per-chunk launches cost ~50-100 ms each through
+    the device relay."""
+
+    def body(st, inp):
+        ridx, gidx, cmap, rid = inp
+        one = jnp.ones((), jnp.bfloat16)
+        phi = (jnp.zeros((b_blk * pr * f,), jnp.bfloat16)
+               .at[ridx].add(one, mode="drop").reshape(b_blk, pr, f))
+        psi = (jnp.zeros((c_blk * g_pad * f,), jnp.bfloat16)
+               .at[gidx].add(one, mode="drop").reshape(c_blk, g_pad, f))
+        out = jnp.einsum("bpf,bgf->bpg", phi, psi[cmap],
+                         preferred_element_type=jnp.float32)
+        add = out.reshape(b_blk * pr, g_pad).astype(jnp.int32)
+        local = rid - row_base
+        ok = (local >= 0) & (local < st.shape[1])
+        st = st.at[fidx, jnp.where(ok, local, st.shape[1])].add(
+            add.astype(st.dtype), mode="drop")
+        return st, 0
+
+    stack, _ = lax.scan(body, stack, (ridxs, gidxs, cmaps, rids))
+    return stack
+
+
+def dense_upload_classes(chunks, fi: int):
+    """Group one collection's dense chunks by triple shapes and ship each
+    class as stacked device arrays (uploaded once, replayed per block)."""
+    classes = {}
+    for ridx, gidx, cmap_c, rid_c in chunks:
+        classes.setdefault((len(ridx), len(gidx)), []).append(
+            (ridx, gidx, cmap_c, rid_c))
+    out = []
+    for (rcap, gcap), items in classes.items():
+        out.append((fi,
+                    jax.device_put(np.stack([i[0] for i in items])),
+                    jax.device_put(np.stack([i[1] for i in items])),
+                    jax.device_put(np.stack([i[2] for i in items])),
+                    jax.device_put(np.stack([i[3] for i in items]))))
+    return out
 
 
 def pack_chunks(starts: np.ndarray, lens: np.ndarray, da: np.ndarray,

@@ -626,7 +626,8 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
 
     _warm_d2h_async()
 
-    from .dense_score import _dense_chunk_offset, pack_chunks
+    from .dense_score import _dense_scan_class, dense_upload_classes
+    from .dense_score import pack_chunks
     from .dense_score import B_BLK, C_BLK, PR, K
     from .pair_score import pair_score_packed_from_device, pair_upload
 
@@ -685,11 +686,7 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             with timer.phase("dense",
                              nbytes=sum(r.nbytes + g.nbytes
                                         for r, g, _, _ in d_chunks)):
-                for ridx, gidx, cmap_c, rid_c in d_chunks:
-                    dense_dev.append((fi, jax.device_put(ridx),
-                                      jax.device_put(gidx),
-                                      jax.device_put(cmap_c),
-                                      jax.device_put(rid_c)))
+                dense_dev.extend(dense_upload_classes(d_chunks, fi))
             if len(left_s):
                 bad_s = np.concatenate([bad_s, left_s])
                 bad_l = np.concatenate([bad_l, left_l])
@@ -746,10 +743,10 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
                 stackd = pair_score_packed_from_device(
                     stackd, dev_arrays, chunks, windows, row_bits, base,
                     fi)
-                for dfi, d_ridx, d_gidx, d_cmap, d_rid in dense_dev:
+                for dfi, d_ridxs, d_gidxs, d_cmaps, d_rids in dense_dev:
                     if dfi == fi:
-                        stackd = _dense_chunk_offset(
-                            stackd, d_ridx, d_gidx, d_cmap, d_rid,
+                        stackd = _dense_scan_class(
+                            stackd, d_ridxs, d_gidxs, d_cmaps, d_rids,
                             jnp.int32(base), B_BLK, C_BLK, PR, f_dim,
                             g_pad, fi)
         # COO corrections for this block
