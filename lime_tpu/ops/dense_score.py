@@ -109,8 +109,9 @@ def _dense_chunk_offset(stack, ridx, gidx, cmap, rid, row_base,
     add = out.reshape(b_blk * pr, g_pad).astype(jnp.int32)
     local = rid - row_base
     ok = (local >= 0) & (local < stack.shape[1])
-    return stack.at[fidx, jnp.where(ok, local, stack.shape[1])].add(
+    plane = stack[fidx].at[jnp.where(ok, local, stack.shape[1])].add(
         add.astype(stack.dtype), mode="drop")
+    return stack.at[fidx].set(plane)
 
 
 @functools.partial(
@@ -136,9 +137,9 @@ def _dense_scan_class(stack, ridxs, gidxs, cmaps, rids, row_base,
         add = out.reshape(b_blk * pr, g_pad).astype(jnp.int32)
         local = rid - row_base
         ok = (local >= 0) & (local < st.shape[1])
-        st = st.at[fidx, jnp.where(ok, local, st.shape[1])].add(
+        plane = st[fidx].at[jnp.where(ok, local, st.shape[1])].add(
             add.astype(st.dtype), mode="drop")
-        return st, 0
+        return st.at[fidx].set(plane), 0
 
     stack, _ = lax.scan(body, stack, (ridxs, gidxs, cmaps, rids))
     return stack

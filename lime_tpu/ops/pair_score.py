@@ -253,9 +253,11 @@ def _pair_packed_block_offset_stack(stack, rows_w, bits_b, gcol, window,
     local = row - row_base
     ok = (~gs) & (local >= 0) & (local < B)
     flat = jnp.where(ok, local * g_pad + gc, B * g_pad)
-    out = stack.reshape(F, -1).at[fidx, flat].add(
+    # static fidx: 1-D scatter on the plane (2-coordinate scatters are
+    # ~10x slower), then a static write-back
+    plane = stack[fidx].reshape(-1).at[flat].add(
         hits.astype(stack.dtype), mode="drop")
-    return out.reshape(F, B, g_pad)
+    return stack.at[fidx].set(plane.reshape(B, g_pad))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -289,9 +291,12 @@ def _pair_packed_scan_class(stack, d_rows, d_bits, d_gcol, wos, bos, gos,
         local = row - row_base
         ok = (~gs) & (local >= 0) & (local < B)
         flat = jnp.where(ok, local * g_pad + gc, B * g_pad)
-        out = st.reshape(F, -1).at[fidx, flat].add(
+        # fidx is static: scatter the extracted plane with a 1-D index
+        # (a (fidx, flat) 2-coordinate scatter runs ~10x slower) and
+        # write it back
+        plane = st[fidx].reshape(-1).at[flat].add(
             hits.astype(st.dtype), mode="drop")
-        return out.reshape(F, B, g_pad), 0
+        return st.at[fidx].set(plane.reshape(B, g_pad)), 0
 
     stack, _ = lax.scan(body, stack, (wos, bos, gos, wins))
     return stack
