@@ -95,3 +95,23 @@ def test_blocked_single_end(blocked_dataset, monkeypatch):
     with open(blocked_out) as f:
         got = f.read()
     assert got == want
+
+
+@pytest.mark.parametrize("variant", ["wide", "ebwt0"])
+def test_blocked_flag_variants(blocked_dataset, monkeypatch, variant):
+    """Row-blocked mode under wide counters / document-count scoring."""
+    root, cols, lineage = blocked_dataset
+    kw = (dict(wide_sim=True) if variant == "wide"
+          else dict(use_ebwt=False))
+    host_out = str(root / f"host_{variant}.csv")
+    run_paired(cols, host_out, NUM_READS, NUM_GENOMES, lineage, 100,
+               LimeConfig(executor="host", **kw))
+    monkeypatch.setenv("LIME_HBM_BUDGET", "1")
+    blocked_out = str(root / f"blocked_{variant}.csv")
+    run_paired(cols, blocked_out, NUM_READS, NUM_GENOMES, lineage, 100,
+               LimeConfig(executor="tpu", fused=True, **kw))
+    with open(host_out) as f:
+        want = f.read()
+    with open(blocked_out) as f:
+        got = f.read()
+    assert got == want
