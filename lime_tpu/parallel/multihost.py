@@ -87,6 +87,48 @@ def extend_range_to_cluster_boundaries(lcp: np.ndarray, lo: int, hi: int,
     return lo, hi
 
 
+def plan_host_range_pairs(fasta_path: str, num_reads: int,
+                          num_genomes: int, alpha: int, num_hosts: int,
+                          host_idx: int, use_ebwt: bool = True,
+                          dense_min: int = 16):
+    """Packed pair-stream plan of this host's range of a collection.
+
+    The pair-engine counterpart of :func:`plan_host_range`: only this
+    host's byte range (straddle-extended) is faulted in and planned with
+    lime_plan_pairs_packed.  Chunks are copy-aligned and carry global
+    read-row ids, so per-host chunk sets simply union; the straddle
+    protocol guarantees each cluster is planned by exactly one host.
+    Returns ``(arrays, chunks, windows, row_bits, dense_start, dense_len,
+    bad_start, bad_len)`` with GLOBAL cluster positions in the routing
+    lists.
+    """
+    from ..constants import SYMBOL_RANK_LUT
+    from ..formats.arrays import open_da, open_ebwt, open_lcp
+    from ..ops.fused_pass import _DEGENERATE_BYTE
+    from .. import native
+
+    lcp = open_lcp(fasta_path, mmap=True)
+    lo, hi = host_position_range(len(lcp), num_hosts, host_idx)
+    lo, hi = extend_range_to_cluster_boundaries(lcp, lo, hi, alpha)
+    if hi <= lo:
+        empty = np.empty(0, np.int64)
+        return ((np.empty(0, np.uint32), np.empty(0, np.uint8),
+                 np.empty(0, np.uint16)), [], (1, 1, 1),
+                native.row_bits_for(num_reads), empty, empty, empty,
+                empty)
+    lcp_s = np.ascontiguousarray(lcp[lo:hi])
+    da_s = np.ascontiguousarray(open_da(fasta_path, mmap=True)[lo:hi])
+    eb_s = (np.ascontiguousarray(open_ebwt(fasta_path, mmap=True)[lo:hi])
+            if use_ebwt else None)
+    (arrays, chunks, windows, W, den_s, den_l, bad_s,
+     bad_l) = native.plan_pairs_packed(
+        lcp_s, da_s, eb_s, num_reads, alpha, SYMBOL_RANK_LUT,
+        _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
+        num_refs=num_genomes)
+    return (arrays, chunks, windows, W, den_s + lo, den_l, bad_s + lo,
+            bad_l)
+
+
 def plan_host_range(fasta_path: str, num_reads: int, num_genomes: int,
                     alpha: int, num_hosts: int, host_idx: int,
                     use_ebwt: bool = True, g_dense: int = 0,

@@ -946,6 +946,10 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
     config = config or DEFAULT_CONFIG
     if not native.available():
         raise RuntimeError("pair engine requires the native planner")
+    if jax.process_count() > 1:
+        return _run_sharded_pairs_multiprocess(
+            collections, output_path, num_reads, num_genomes,
+            lineage_path, read_len, config, mesh)
     if mesh is None:
         mesh = make_mesh(len(jax.devices()))
     F = len(collections)
@@ -1050,6 +1054,163 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
                          np.asarray(taxid)[:num_reads],
                          np.asarray(sim)[:num_reads])
     if output_path:
+        from ..pipeline import _write_csv_block
+
+        with open(output_path, "w") as out:
+            out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
+            _write_csv_block(out, 0, res)
+    return res
+
+
+def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
+                                    num_genomes, lineage_path, read_len,
+                                    config=None, mesh=None):
+    """Multi-process pair engine: per-host chunk contribution.
+
+    Every process plans only its index range (plan_host_range_pairs);
+    copy-aligned chunks union across hosts with no stitching, so the
+    multi-process decomposition is "pad each host's chunk set to a
+    common count and shard the global chunk axis".  COO corrections and
+    the chunk-shape maxima allgather so replicated inputs agree.
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..formats.arrays import open_da, open_ebwt
+    from ..formats.lineage import read_lineage
+    from ..ops.classify_ops import ClassifyResult
+    from ..ops.fused_pipeline import _rescue_sparse
+    from .. import native
+    from .mesh import make_mesh
+    from .multihost import plan_host_range_pairs
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
+
+    config = config or DEFAULT_CONFIG
+    pid, nproc = jax.process_index(), jax.process_count()
+    if mesh is None:
+        mesh = make_mesh(len(jax.devices()))
+    F = len(collections)
+    if F not in (2, 4):
+        raise ValueError("sharded run takes 2 or 4 collections")
+    lineage = read_lineage(lineage_path)
+    n_shards = mesh.shape["sp"] * mesh.shape["dp"]
+    if n_shards % nproc:
+        raise ValueError("device count must divide evenly across "
+                         "processes")
+    local_shards = n_shards // nproc
+    g_pad = max(128, -(-num_genomes // 128) * 128)
+    if (num_reads + 1) * g_pad > 2**31 - 1:
+        raise ValueError("num_reads * g_pad exceeds the int32 scatter "
+                         "range")
+    W = native.row_bits_for(num_reads)
+    dense_min = (16 if config.mxu_dense_min is None
+                 else config.mxu_dense_min)
+
+    local_chunks = []  # (fi, window, rows_view, bits_view, gcol_view)
+    corr_local = []
+    for fi, fasta in enumerate(collections):
+        (arrays, chunks, windows, w_f, den_s, den_l, bad_s,
+         bad_l) = plan_host_range_pairs(
+            fasta, num_reads, num_genomes, config.alpha, nproc, pid,
+            use_ebwt=config.use_ebwt, dense_min=dense_min)
+        assert w_f == W
+        rows_all, bits_all, gcol_all = arrays
+        wpg = W // 4
+        for b, n_rows, wo, bo, go, gc in chunks:
+            local_chunks.append(
+                (fi, windows[b],
+                 rows_all[wo:wo + n_rows // 8 * wpg],
+                 bits_all[bo:bo + n_rows // 8 * 5],
+                 gcol_all[go:go + gc]))
+        if len(den_s):  # dense clusters: exact host COO in this engine
+            bad_s = np.concatenate([bad_s, den_s])
+            bad_l = np.concatenate([bad_l, den_l])
+        if len(bad_s):
+            da = open_da(fasta, mmap=True)
+            ebwt = (open_ebwt(fasta, mmap=True) if config.use_ebwt
+                    else None)
+            rows, cols, vals = _rescue_sparse(
+                bad_s, bad_l, da, ebwt, num_reads, num_genomes, config)
+            if len(rows):
+                corr_local.append((np.full(len(rows), fi, np.int32),
+                                   rows, cols, vals))
+
+    # agree on uniform chunk shapes + per-host chunk counts
+    cw_loc = max((len(r) for _, _, r, _, _ in local_chunks), default=8)
+    gcap_loc = 4096
+    for _, _, _, _, g in local_chunks:
+        while gcap_loc < len(g):
+            gcap_loc <<= 1
+    dims = np.asarray(multihost_utils.process_allgather(np.array(
+        [cw_loc, gcap_loc, len(local_chunks)], np.int64)))
+    cw = int(dims[:, 0].max())
+    gcap = int(dims[:, 1].max())
+    n_loc = -(-int(dims[:, 2].max()) // local_shards) * local_shards
+    cb = cw // (W // 4) * 5
+
+    rows_w = np.zeros((n_loc, cw), np.uint32)
+    bits_b = np.tile(_PAD_GROUP_BITS, (n_loc, cb // 5))
+    gcol = np.zeros((n_loc, gcap), np.uint16)
+    cfile = np.full(n_loc, F, np.int32)
+    cwin = np.ones(n_loc, np.int32)
+    for i, (fi, win, r, b, g) in enumerate(local_chunks):
+        rows_w[i, :len(r)] = r
+        bits_b[i, :len(b)] = b
+        gcol[i, :len(g)] = g
+        cfile[i] = fi
+        cwin[i] = win
+
+    if corr_local:
+        lf = np.concatenate([c[0] for c in corr_local])
+        lr = np.concatenate([c[1] for c in corr_local]).astype(np.int32)
+        lc = np.concatenate([c[2] for c in corr_local]).astype(np.int32)
+        lv = np.concatenate([c[3] for c in corr_local]).astype(np.int32)
+    else:
+        lf = lr = lc = lv = np.empty(0, np.int32)
+    n_corr = int(np.asarray(multihost_utils.process_allgather(
+        np.array([len(lf)], np.int64))).max())
+    if n_corr:
+        k = max(256, 1 << int(np.ceil(np.log2(max(n_corr, 2)))))
+        cfile_c = _allgather_np(lf, k, F).reshape(-1)
+        crows = _allgather_np(lr, k, 0).reshape(-1)
+        ccols = _allgather_np(lc, k, 0).reshape(-1)
+        cvals = _allgather_np(lv, k, 0).reshape(-1)
+        max_corr = len(cfile_c)
+    else:
+        cfile_c = crows = ccols = np.empty(0, np.int32)
+        cvals = np.empty(0, np.int32)
+        max_corr = 0
+
+    tax = np.zeros(g_pad, np.uint32)
+    tax[:num_genomes] = lineage.at_rank(config.tax_rank)
+    rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+    rank_matrix[:, :num_genomes] = lineage.taxids
+    valid_t = np.arange(g_pad) < num_genomes
+
+    chunk_sharding = NamedSharding(mesh, P(("sp", "dp")))
+    n_ch = n_loc * nproc
+
+    def glob(x):
+        return jax.make_array_from_process_local_data(
+            chunk_sharding, x, (n_ch,) + x.shape[1:])
+
+    step = make_pair_sharded_pipeline(
+        mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
+        read_len=read_len, alpha=config.alpha, beta=config.beta,
+        tax_rank=config.tax_rank, assign_higher=config.assign_higher,
+        row_bits=W, n_chunks=n_ch, wide_sim=config.wide_sim,
+        max_corr=max_corr)
+    types, taxid, sim = step(glob(rows_w), glob(bits_b), glob(gcol),
+                             glob(cfile), glob(cwin), crows, ccols,
+                             cvals, cfile_c, tax, rank_matrix, valid_t,
+                             jnp.float32(config.error_tolerance))
+    types = np.asarray(multihost_utils.process_allgather(types,
+                                                         tiled=True))
+    taxid = np.asarray(multihost_utils.process_allgather(taxid,
+                                                         tiled=True))
+    sim = np.asarray(multihost_utils.process_allgather(sim, tiled=True))
+    res = ClassifyResult(types[:num_reads], taxid[:num_reads],
+                         sim[:num_reads])
+    if output_path and pid == 0:
         from ..pipeline import _write_csv_block
 
         with open(output_path, "w") as out:

@@ -1,8 +1,8 @@
 """Worker process for the 2-process distributed run_sharded test.
 
-Usage: python -m tests._dist_worker <pid> <nproc> <port> <root>
+Usage: python -m tests._dist_worker <pid> <nproc> <port> <root> [engine]
 The dataset (4 collections + lineage) must already exist under <root>.
-Process 0 writes <root>/dist.csv.
+Process 0 writes <root>/dist_<engine>.csv (engine: banded | pair).
 """
 
 import sys
@@ -19,14 +19,16 @@ def main() -> None:
                                process_id=pid)
 
     from lime_tpu.config import LimeConfig
-    from lime_tpu.parallel.sharded import run_sharded
+    from lime_tpu.parallel.sharded import run_sharded, run_sharded_pairs
 
+    engine = sys.argv[5] if len(sys.argv) > 5 else "banded"
+    runner = run_sharded_pairs if engine == "pair" else run_sharded
     meta = open(f"{root}/meta.txt").read().split()
     num_reads, num_genomes, read_len = (int(v) for v in meta)
     cols = [f"{root}/col_{t}.fasta" for t in ("1F", "1RC", "2F", "2RC")]
-    run_sharded(cols, f"{root}/dist.csv", num_reads, num_genomes,
-                f"{root}/LineageFile.csv", read_len,
-                LimeConfig(executor="tpu"))
+    runner(cols, f"{root}/dist_{engine}.csv", num_reads, num_genomes,
+           f"{root}/LineageFile.csv", read_len,
+           LimeConfig(executor="tpu"))
     print(f"[worker {pid}] done", flush=True)
 
 

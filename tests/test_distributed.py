@@ -25,7 +25,9 @@ pytestmark = pytest.mark.skipif(not native.available(),
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_sharded_matches_host(tmp_path):
+@pytest.mark.parametrize("engine,port", [("banded", "29741"),
+                                         ("pair", "29742")])
+def test_two_process_sharded_matches_host(tmp_path, engine, port):
     from .synth import make_dataset
 
     ds = make_dataset(str(tmp_path), num_pairs=300, read_len=100,
@@ -43,11 +45,10 @@ def test_two_process_sharded_matches_host(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("LIME_TEST_TPU", None)
     env["PYTHONPATH"] = ROOT
-    port = "29741"
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "tests._dist_worker", str(pid), "2",
-             port, str(tmp_path)],
+             port, str(tmp_path), engine],
             env=env, cwd=ROOT, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT)
         for pid in range(2)
@@ -58,6 +59,6 @@ def test_two_process_sharded_matches_host(tmp_path):
 
     with open(host_out) as f:
         want = f.read()
-    with open(tmp_path / "dist.csv") as f:
+    with open(tmp_path / f"dist_{engine}.csv") as f:
         got = f.read()
     assert got == want
