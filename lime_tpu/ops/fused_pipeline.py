@@ -1,36 +1,39 @@
-"""Single-dispatch-class fused pipeline: collections -> per-read assignments.
+"""Fused serving pipeline: collections -> per-read assignments.
 
 The staged path (pipeline.py) mirrors the reference's file-per-stage
-architecture.  This module is the serving path: banded scan+score runs as
-one device program per collection, dispatched asynchronously so the host
-planning of collection i+1 and the upload of its packed stream overlap the
-device compute of collection i; a final program fuses counter wrap,
-normalization, beta gating and the 4-stage classify cascade.  A run costs
-3-5 bytes/position of upload and a per-read-sized download.
+architecture.  This module is the serving path.  Per collection the
+native planner (OpenMP, released GIL) scans the index once and routes
+every alpha-cluster:
 
-Memory plan (paper-scale: 10^7 reads x 10^3 genomes):
+- sparse clusters (the overwhelming majority at every genome count —
+  measured p99 = ONE genome document at 930 genomes) -> the packed
+  pair-stream device path (ops/pair_score.py), 3.125 bytes/row of
+  upload, G-independent compute;
+- genome-dense clusters and deep-coverage clusters longer than 255
+  rows -> the MXU histogram-matmul path (ops/dense_score.py);
+- IUPAC-degenerate (stateful waterfall) and >65536-row clusters -> the
+  exact host scorer, as sparse COO corrections.
 
-- each collection's score matrix accumulates on device as ``(R_pad, G_pad)``
-  int8 — R x G *bytes*, the same footprint as the reference's dense uchar
-  SimArray (src/ClusterBWT_DA.cpp:606-611); int8 wraparound IS the
-  reference's unsaturated uchar counter semantics (ClusterBWT_DA.cpp:183).
-  ``wide_sim`` (reads > 255bp) switches to int32.
-- host-rescued clusters (IUPAC-degenerate / longer than 255) produce a
-  *sparse* COO correction — never a dense (F, R, G) buffer — scatter-added
-  into the device matrices inside the classify program.
-- the classify program walks read blocks: normalization, beta gating and
-  the 4-stage cascade touch one (block, F, G_pad) float32 tile at a time,
-  and only the per-read (type, taxid, sim) triplet ever comes home.
+Dispatches are asynchronous: collection i+1 plans (its memmapped index
+faulting in as the C++ scan walks it) while collection i's uploads
+drain.  A final device program fuses counter wrap, normalization, beta
+gating and the 4-stage classify cascade; per-read (type, taxid, sim)
+triplets are the only downlink.
 
-Host-side planning per collection (native C++ single pass, released GIL):
+Memory plan (paper-scale: 10^6-10^7 reads x 10^3 genomes):
 
-- boundary scan -> alpha-clusters with the membership filter applied
-  on the fly (reference src/ClusterLCP.cpp:220);
-- clusters the banded kernel cannot express (IUPAC-degenerate or longer
-  than 255) are routed to the exact host scorer; everything else is
-  compacted into the device stream (one packed byte + one doc id per
-  position; a cluster's first row carries run-bit 0 so adjacent clusters
-  never band-match each other).
+- each collection's score matrix accumulates on device as ``(R_pad,
+  G_pad)`` int8 — R x G *bytes*, the reference's dense uchar SimArray
+  footprint (src/ClusterBWT_DA.cpp:606-611); int8 wraparound IS the
+  reference's unsaturated uchar counter semantics
+  (ClusterBWT_DA.cpp:183).  ``wide_sim`` (reads > 255bp) -> int32.
+- when the (F, R_pad, G_pad) stack exceeds the HBM budget (setB2 scale)
+  the run switches to _run_fused_blocked: streams upload once, stay
+  device-resident, and every read-row block is scored by replaying them
+  from HBM — host memory never holds an (R, G) matrix.
+- the legacy banded path (run with ``pair_stream=False``) compacts one
+  packed byte + one doc id per position and scores through the one-hot
+  banded kernel — the right engine only when most genome lanes hit.
 """
 
 from __future__ import annotations
