@@ -72,6 +72,15 @@ class LimeConfig:
     # available and the flat scatter range fits int32; False forces the
     # legacy banded/density routing.
     pair_stream: Optional[bool] = None
+    # Hybrid host/device split: the fraction of clusters scored by the
+    # host SIMD scorer (uplinked as delta-COO nonzeros) instead of the
+    # device stream.  None = auto: pick from the measured host<->device
+    # link bandwidth (0 on a healthy PCIe-class link; most-to-all host
+    # on a degraded link, where shipping pre-aggregated nonzeros beats
+    # shipping positions).  Any split is byte-identical: scatter-adds
+    # commute and both engines implement the reference's exact counter
+    # semantics.  Overridable with env LIME_HOST_FRAC.
+    host_frac: Optional[float] = None
 
     def __post_init__(self) -> None:
         if self.executor not in ("tpu", "host"):
@@ -81,6 +90,8 @@ class LimeConfig:
                              "(0=Genome, 1=Species, ..., 6=Phylum)")
         if self.alpha <= 0:
             raise ValueError("alpha must be positive")
+        if self.host_frac is not None and not 0.0 <= self.host_frac <= 1.0:
+            raise ValueError("host_frac must be in [0, 1]")
 
     @property
     def sim_dtype(self) -> np.dtype:

@@ -70,6 +70,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64,
@@ -103,6 +104,14 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.lime_format_csv.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.lime_coo_compact.restype = ctypes.c_int64
+            lib.lime_coo_compact.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
             ]
             _lib = lib
         except Exception:
@@ -294,13 +303,18 @@ def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
                       ebwt: np.ndarray | None, num_reads: int, alpha: int,
                       sym_lut: np.ndarray, deg_lut: np.ndarray,
                       dense_min: int = 16, chunk_pos: int = 1 << 22,
-                      num_refs: int | None = None):
+                      num_refs: int | None = None, host_num: int = 0):
     """One C++ pass: cluster scan + routing + packed pair-chunk emission.
 
     The transfer-optimal pair plan (lime_plan_pairs_packed in csrc):
     3.125 bytes/row — 5 metadata bits + a W-bit row id per row, 8 rows per
     group — plus one u16 genome column per copy, pre-chunked on copy
     boundaries so the device program has a handful of static shapes.
+
+    ``host_num`` (0..256) routes that /256 share of clusters — picked by
+    a deterministic hash of the run index — to the host-scored list
+    (``bad_start/bad_len``) instead of the stream: the hybrid engine's
+    link-adaptive split (256 = everything host-scored, stream empty).
 
     Returns ``(chunks, windows, row_bits, dense_start, dense_len,
     bad_start, bad_len)`` where each chunk is
@@ -343,7 +357,7 @@ def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
         cmeta = np.empty(cap_c * 6, dtype=np.int64)
         rc = lib.lime_plan_pairs_packed(
             lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
-            dense_min, W, chunk_pos,
+            dense_min, W, chunk_pos, host_num,
             sym_lut.ctypes.data, deg_lut.ctypes.data,
             cap_w, cap_b, cap_g, cap_c,
             rows.ctypes.data, bits.ctypes.data, gcol.ctypes.data,
@@ -480,6 +494,53 @@ def score_clusters_native(starts: np.ndarray, lens: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"lime_score_clusters failed: {rc}")
     return out
+
+
+def coo_compact(mat: np.ndarray, num_reads: int, num_refs: int,
+                wide: bool = False, threads: int = 0):
+    """Compact a dense similarity plane to the delta-COO uplink format.
+
+    Returns a list of per-thread segments ``(base_row, drow_u8, col_u16,
+    val)`` (val u8, or u32 when ``wide``): rows delta-encoded in scan
+    order from ``base_row``, gaps > 255 bridged by zero-value entries
+    (no-ops under scatter-add).  ~4 B per nonzero — the hybrid engine's
+    whole uplink for host-scored clusters.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if mat.ndim != 2 or mat.strides[1] != mat.itemsize:
+        raise ValueError("mat must be a row-contiguous 2D array")
+    if mat.dtype != (np.uint32 if wide else np.uint8):
+        raise ValueError("mat dtype does not match wide")
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    row_stride = mat.strides[0] // mat.itemsize
+    cap = 1 << 20
+    for _ in range(3):
+        drow = np.empty(cap, np.uint8)
+        col = np.empty(cap, np.uint16)
+        val = np.empty(cap, np.uint32 if wide else np.uint8)
+        seg = np.zeros(3 * threads, np.int64)
+        rc = lib.lime_coo_compact(
+            mat.ctypes.data, num_reads, num_refs, row_stride,
+            int(wide), threads, cap,
+            drow.ctypes.data, col.ctypes.data, val.ctypes.data,
+            seg.ctypes.data)
+        if rc >= 0:
+            out = []
+            for t in range(threads):
+                off, cnt, base = (int(seg[3 * t]), int(seg[3 * t + 1]),
+                                  int(seg[3 * t + 2]))
+                if cnt:
+                    out.append((base, drow[off:off + cnt],
+                                col[off:off + cnt], val[off:off + cnt]))
+            return out
+        if rc <= -3:
+            cap = -rc + 8
+            continue
+        raise RuntimeError(f"lime_coo_compact failed: {rc}")
+    raise RuntimeError("lime_coo_compact capacity retry failed")
 
 
 def format_csv(types: np.ndarray, taxid: np.ndarray, sim: np.ndarray,

@@ -645,7 +645,7 @@ struct BucketPack {
 int64_t lime_plan_pairs_packed(
     const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
     int64_t n, int64_t num_reads, uint32_t alpha, int64_t dense_min,
-    int64_t row_bits, int64_t chunk_pos,
+    int64_t row_bits, int64_t chunk_pos, int64_t host_num,
     const uint8_t* sym_lut, const uint8_t* deg_lut,
     int64_t cap_words, int64_t cap_bits, int64_t cap_gcol,
     int64_t cap_chunks,
@@ -654,6 +654,7 @@ int64_t lime_plan_pairs_packed(
     int64_t* dense_start, int64_t* dense_len,
     int64_t* bad_start, int64_t* bad_len, int64_t* meta) {
   if (n <= 0 || num_reads <= 0) return -1;
+  if (host_num < 0 || host_num > 256) return -5;
   if (row_bits != 20 && row_bits != 24 && row_bits != 28) return -2;
   if (num_reads > (static_cast<i64>(1) << row_bits)) return -3;
   if (chunk_pos < 65536 || (chunk_pos & 7)) return -4;
@@ -723,6 +724,21 @@ int64_t lime_plan_pairs_packed(
       for (i64 j = ps; j < e; j++) nr += da[j] < nr_u32;
       const i64 n_g = len - nr;
       if (nr == 0 || n_g == 0) continue;  // membership filter
+
+      // Hybrid host/device split: a deterministic hash of the global run
+      // index routes this share of clusters to the host scorer (the
+      // adaptive dispatcher picks host_num from the measured link
+      // bandwidth — on a degraded interconnect the 2-core SIMD scorer
+      // plus a delta-COO uplink beats shipping the stream).  Scatter
+      // adds commute, so any split is byte-identical to host_num=0.
+      if (host_num &&
+          (host_num == 256 ||
+           ((static_cast<uint32_t>(r) * 2654435761u) >> 24) <
+               static_cast<uint32_t>(host_num))) {
+        cx.bd_s.push_back(ps);
+        cx.bd_l.push_back(len);
+        continue;
+      }
 
       bool deg = false, wide_sym = false;
       if (ebwt) {
@@ -1320,6 +1336,115 @@ int64_t lime_format_csv(const uint8_t* types, const uint32_t* taxid,
     }
   }
   return p - buf;
+}
+
+// Compact one dense similarity plane into the delta-COO uplink format.
+//
+// The hybrid engine scores host-routed clusters into a dense
+// (num_reads x num_refs) matrix (the reference's own SimArray footprint,
+// src/ClusterBWT_DA.cpp:606-611) and ships only its nonzeros:
+// (drow u8, col u16, val u8|u32) per entry, rows delta-encoded in scan
+// order.  Gaps > 255 rows emit bridge entries (drow=255, col=0, val=0 —
+// val 0 scatter-adds are no-ops on device).  ~4 bytes per nonzero vs
+// ~3.45 bytes per *position* for the packed pair stream; measured at the
+// paper scale the nonzero count is ~9x smaller than the position count.
+//
+//   mat        — u8 (wide=0) or u32 (wide=1), row-major with row_stride
+//   threads    — row ranges split across this many OpenMP threads; each
+//                thread's delta chain starts at base_row = r0 - 1 and its
+//                region is a separate uplink chunk
+//   seg_meta   — out, 3 i64 per thread: {entry_off, entry_cnt, base_row}
+//
+// Returns the total entry count, or the NEGATED needed capacity if cap is
+// insufficient (caller grows and retries).
+int64_t lime_coo_compact(const void* mat, int64_t num_reads,
+                         int64_t num_refs, int64_t row_stride,
+                         int64_t wide, int64_t threads, int64_t cap,
+                         uint8_t* drow_out, uint16_t* col_out,
+                         void* val_out, int64_t* seg_meta) {
+  if (num_reads <= 0 || num_refs <= 0 || row_stride < num_refs) return -1;
+  if (num_refs > 65536) return -2;
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  const uint8_t* m8 = static_cast<const uint8_t*>(mat);
+  const uint32_t* m32 = static_cast<const uint32_t*>(mat);
+  uint8_t* v8 = static_cast<uint8_t*>(val_out);
+  uint32_t* v32 = static_cast<uint32_t*>(val_out);
+
+  std::vector<i64> cnt(threads, 0);
+  // pass 1: per-thread entry counts (nonzeros + bridge entries)
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(static_cast<int>(threads))
+#endif
+  for (i64 t = 0; t < threads; t++) {
+    const i64 r0 = num_reads * t / threads;
+    const i64 r1 = num_reads * (t + 1) / threads;
+    i64 c = 0, last = r0 - 1;
+    for (i64 r = r0; r < r1; r++) {
+      i64 nz = 0;
+      if (wide) {
+        const uint32_t* p = m32 + r * row_stride;
+        for (i64 g = 0; g < num_refs; g++) nz += p[g] != 0;
+      } else {
+        const uint8_t* p = m8 + r * row_stride;
+        for (i64 g = 0; g < num_refs; g++) nz += p[g] != 0;
+      }
+      if (!nz) continue;
+      c += (r - last - 1) / 255;  // bridges
+      c += nz;
+      last = r;
+    }
+    cnt[t] = c;
+  }
+  i64 total = 0;
+  for (i64 t = 0; t < threads; t++) {
+    seg_meta[3 * t + 0] = total;
+    seg_meta[3 * t + 1] = cnt[t];
+    seg_meta[3 * t + 2] = num_reads * t / threads - 1;
+    total += cnt[t];
+  }
+  if (total > cap) return -total;
+
+  // pass 2: fill at offsets
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(static_cast<int>(threads))
+#endif
+  for (i64 t = 0; t < threads; t++) {
+    const i64 r0 = num_reads * t / threads;
+    const i64 r1 = num_reads * (t + 1) / threads;
+    i64 w = seg_meta[3 * t + 0], last = r0 - 1;
+    for (i64 r = r0; r < r1; r++) {
+      i64 nz = 0;
+      const uint8_t* p8 = m8 + r * row_stride;
+      const uint32_t* p32 = m32 + r * row_stride;
+      if (wide) {
+        for (i64 g = 0; g < num_refs; g++) nz += p32[g] != 0;
+      } else {
+        for (i64 g = 0; g < num_refs; g++) nz += p8[g] != 0;
+      }
+      if (!nz) continue;
+      i64 gap = r - last;
+      while (gap > 255) {
+        drow_out[w] = 255;
+        col_out[w] = 0;
+        if (wide) v32[w] = 0; else v8[w] = 0;
+        w++;
+        gap -= 255;
+      }
+      bool first = true;
+      for (i64 g = 0; g < num_refs; g++) {
+        const uint32_t v = wide ? p32[g] : p8[g];
+        if (!v) continue;
+        drow_out[w] = first ? static_cast<uint8_t>(gap) : 0;
+        col_out[w] = static_cast<uint16_t>(g);
+        if (wide) v32[w] = v; else v8[w] = static_cast<uint8_t>(v);
+        first = false;
+        w++;
+      }
+      last = r;
+    }
+  }
+  return total;
 }
 
 }  // extern "C"

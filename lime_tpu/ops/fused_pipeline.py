@@ -54,6 +54,7 @@ from ..formats.lineage import Lineage
 from ..ops.classify_ops import ClassifyResult
 from ..ops.classify_tpu import blockwise_cascade
 from ..ops.fused_pass import _DEGENERATE_BYTE
+from ..ops.pair_score import coo_scatter_into, merge_coo_segments
 from .. import native
 from ..ops.scoring import _expand_positions, score_clusters
 from ..utils.timing import PhaseTimer
@@ -223,34 +224,6 @@ def _rescue(bad_start, bad_len, da, ebwt, num_reads: int, num_genomes: int,
     return ("dense", mat)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _add_host_matrix(sim, host):
-    """Same-shape device add (int add wraps like the uchar counters)."""
-    return sim + host
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_files", "tax_rank", "assign_higher", "is_mod"),
-    donate_argnums=(0,))
-def _classify_host_block(blk, tax, rank_matrix, valid_t, error, norm, beta,
-                         num_files: int, tax_rank: int, assign_higher: bool,
-                         is_mod: bool):
-    """One read block of the streamed classify (host-resident scores)."""
-    F, b, g_pad = blk.shape
-    x = (blk.astype(jnp.uint8) if is_mod else blk).astype(jnp.float32)
-    norm_rows = x / norm
-    rowmax = jnp.max(norm_rows, axis=2)
-    qualify = rowmax > beta
-    dense = jnp.transpose(
-        jnp.where(qualify[:, :, None], norm_rows, 0.0), (1, 0, 2))
-    maxs = jnp.where(qualify, rowmax, 0.0).T
-    from .classify_tpu import cascade_core
-
-    return cascade_core(dense, maxs, tax, rank_matrix, valid_t, error,
-                        num_files, tax_rank, assign_higher)
-
-
 def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
               lineage: Lineage, read_len: int, config: LimeConfig,
               ) -> ClassifyResult:
@@ -296,6 +269,87 @@ def _warm_d2h_async() -> None:
             pass
 
     threading.Thread(target=warm, daemon=True).start()
+
+
+_link_bw_cache = None
+
+
+def _probe_link_bandwidth() -> float:
+    """Sustained host->device bandwidth (GB/s), two-point probed.
+
+    Measures a 2 MB and an 18 MB upload and takes the slope, which
+    cancels the link's fixed per-transfer cost (the axon relay charges
+    ~0.1-0.3 s per transfer; a one-point probe would understate a
+    healthy link).  Cached per process; override with LIME_LINK_GBPS.
+    """
+    global _link_bw_cache
+    if _link_bw_cache is None:
+        import os
+        import time
+
+        env = os.environ.get("LIME_LINK_GBPS")
+        if env:
+            _link_bw_cache = float(env)
+            return _link_bw_cache
+        rng = np.random.default_rng(0)
+        times = []
+        for mb in (2, 18):
+            a = rng.integers(0, 255, mb << 20, dtype=np.uint8)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(a))
+            times.append(time.perf_counter() - t0)
+        slope = max(times[1] - times[0], 1e-6)
+        _link_bw_cache = (16 << 20) / 1e9 / slope
+    return _link_bw_cache
+
+
+# Stream bytes per emitted pair-stream row (W=20: 20/8 rows + 5/8 bits +
+# amortized per-copy gcol) and the host SIMD scorer's per-core position
+# throughput — the two constants of the hybrid split model.
+_STREAM_BYTES_PER_ROW = 3.45
+_HOST_POS_PER_SEC_CORE = 5.6e6
+
+
+def _host_split_for(config: LimeConfig, num_reads: int, num_genomes: int,
+                    wide: bool) -> int:
+    """Pick the hybrid host/device split (0..256 = none..all host).
+
+    Balances two pipelines that run concurrently per collection: the
+    device path ships ~3.45 B per surviving position over the link; the
+    host path scores positions at the SIMD scorer's measured rate and
+    ships only pre-aggregated nonzeros (delta-COO, ~9x fewer entries
+    than positions at the paper scale).  Equalizing the two gives
+    f = A / (1 + A) with A = bytes_per_row * host_rate / link_bw.  On a
+    PCIe-class link A ~ 0.004 -> f ~ 0, pure device; through a
+    degraded relay A >> 1 -> most-to-all host.
+    """
+    import os
+
+    frac = config.host_frac
+    env = os.environ.get("LIME_HOST_FRAC")
+    if env is not None:
+        frac = float(env)
+    if frac is None:
+        if not native.available():
+            return 0
+        # dense host plane per collection; cap so setB2-scale runs keep
+        # their bounded-memory path unless explicitly overridden
+        cell = 4 if wide else 1
+        cap = int(os.environ.get("LIME_HOST_MATRIX_CAP", 32 << 30))
+        if num_reads * num_genomes * cell > cap:
+            return 0
+        bw = _probe_link_bandwidth() * 1e9
+        rate = _HOST_POS_PER_SEC_CORE * min(os.cpu_count() or 1, 16)
+        a = _STREAM_BYTES_PER_ROW * rate / max(bw, 1.0)
+        f = a / (1.0 + a)
+    else:
+        f = float(frac)
+    host_num = int(round(f * 256))
+    if host_num < 18:
+        return 0
+    if host_num > 238:
+        return 256
+    return host_num
 
 
 def _hbm_budget() -> int:
@@ -345,8 +399,13 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     host_dtype = np.uint32 if wide else np.uint8
     dev_dtype = jnp.int32 if wide else jnp.int8
     sims_dev = [None] * F
-    stacked = None  # lazy (F, r_pad, g_pad) host-scored matrices
     corr = []  # (file, rows, cols, vals) per rescued collection
+    # Hybrid host/device split (0..256): this /256 share of clusters is
+    # hash-routed to the host SIMD scorer at plan time and uplinked as
+    # delta-COO nonzeros — the adaptive answer to a degraded link.
+    host_num = _host_split_for(config, num_reads, num_genomes,
+                               wide) if pair else 0
+    scratch = None  # reusable dense host plane for the hybrid path
 
     def load(fasta):
         # memmaps: the C++ planner's sequential scan faults pages in as
@@ -369,7 +428,8 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         return native.plan_pairs_packed(
             lcp, da, ebwt, num_reads, config.alpha,
             SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8),
-            dense_min=dense_min, num_refs=num_genomes)
+            dense_min=dense_min, num_refs=num_genomes,
+            host_num=host_num)
 
     def plan(arrays):
         """Plan one collection (legacy banded/density routing).
@@ -485,12 +545,16 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                         if len(rows):
                             corr.append((fi, rows, cols, vals))
                     else:
-                        # score straight into this file's padded row block —
-                        # the buffer uploads to the device as-is (no repack)
-                        if stacked is None:
-                            stacked = np.zeros((F, r_pad, g_pad),
+                        # hybrid path: exact SIMD scoring into a dense
+                        # host plane (the reference's own SimArray
+                        # footprint, src/ClusterBWT_DA.cpp:606-611),
+                        # compacted to delta-COO — the whole uplink is
+                        # the matrix's nonzeros, ~4 B each
+                        if scratch is None:
+                            scratch = np.zeros((num_reads, num_genomes),
                                                host_dtype)
-                            host_used = set()
+                        else:
+                            scratch.fill(0)
                         from ..constants import IUPAC_WATERFALL_PAIRS
 
                         native.score_clusters_native(
@@ -499,8 +563,18 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                             None if ebwt is None else np.asarray(ebwt),
                             num_reads, num_genomes, SYMBOL_RANK_LUT,
                             _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
-                            wide=wide, threads=0, out=stacked[fi])
-                        host_used.add(fi)
+                            wide=wide, threads=0, out=scratch)
+                        chain = merge_coo_segments(
+                            native.coo_compact(scratch, num_reads,
+                                               num_genomes, wide=wide))
+                        if chain is not None:
+                            nb = (len(chain[1]) * (7 if wide else 4))
+                            with timer.phase("dispatch", nbytes=nb):
+                                if sims_dev[fi] is None:
+                                    sims_dev[fi] = jnp.zeros(
+                                        (r_pad, g_pad), dev_dtype)
+                                sims_dev[fi] = coo_scatter_into(
+                                    sims_dev[fi], chain)
             arrays = None
 
         # ship host-scored matrices as per-file 2D transfers: this relay
@@ -515,9 +589,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         live = [s for s in sims_dev if s is not None]
         if live:
             jax.block_until_ready(live)
-    with timer.phase("classify",
-                     nbytes=0 if stacked is None else stacked.nbytes):
-        view_dtype = np.int32 if wide else np.int8
+    with timer.phase("classify"):
         tax = np.zeros(g_pad, np.uint32)
         tax[:num_genomes] = lineage.at_rank(config.tax_rank)
         rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
@@ -527,74 +599,41 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         error = jnp.float32(config.error_tolerance)
         beta = jnp.float32(config.beta)
 
-        if stacked is not None and all(s is None for s in sims_dev):
-            # Scoring lived on the host (density routing at large G):
-            # stream the classify in read blocks — small pipelined 2D
-            # uploads + a per-block cascade — instead of materializing the
-            # full (F, R_pad, G_pad) stack in HBM.  COO corrections fold
-            # into the host matrices first (u8 add wraps like the
-            # reference's uchar counters).
-            for fi, rows, cols, vals in corr:
-                np.add.at(stacked[fi], (rows, cols),
-                          (vals % 256).astype(host_dtype) if not wide
-                          else vals.astype(host_dtype))
-            taxd = jnp.asarray(tax)
-            rankd = jnp.asarray(rank_matrix)
-            validd = jnp.asarray(valid_t)
-            outs = []
-            for lo in range(0, r_pad, block):
-                blk = jnp.stack([
-                    jnp.asarray(stacked[fi][lo:lo + block].view(view_dtype))
-                    for fi in range(F)])
-                outs.append(_classify_host_block(
-                    blk, taxd, rankd, validd, error, norm, beta, F,
-                    config.tax_rank, config.assign_higher, not wide))
-            types = np.concatenate([np.asarray(o[0]) for o in outs])
-            taxid = np.concatenate([np.asarray(o[1]) for o in outs])
-            sim = np.concatenate([np.asarray(o[2]) for o in outs])
+        for fi in range(F):
+            if sims_dev[fi] is None:
+                sims_dev[fi] = jnp.zeros((r_pad, g_pad), dev_dtype)
+        with timer.phase("classify_stack"):
+            sims_all = jax.block_until_ready(jnp.stack(sims_dev))
+            sims_dev = [None] * F
+
+        if corr:
+            cfile = np.concatenate(
+                [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
+            crows = np.concatenate([r for _, r, _, _ in corr])
+            ccols = np.concatenate([c for _, _, c, _ in corr])
+            cvals = np.concatenate([v for _, _, _, v in corr])
+            # bucket-pad to limit recompiles; padded entries carry an
+            # out-of-range file index and scatter in 'drop' mode
+            k = max(256, 1 << int(np.ceil(np.log2(len(cfile)))))
+            pad = k - len(cfile)
+            cfile = np.pad(cfile, (0, pad), constant_values=F)
+            crows = np.pad(crows, (0, pad))
+            ccols = np.pad(ccols, (0, pad))
+            cvals = np.pad(cvals, (0, pad))
         else:
-            for fi in range(F):
-                host = (jnp.asarray(stacked[fi].view(view_dtype))
-                        if stacked is not None and fi in host_used
-                        else None)
-                if sims_dev[fi] is None:
-                    sims_dev[fi] = (host if host is not None
-                                    else jnp.zeros((r_pad, g_pad),
-                                                   dev_dtype))
-                elif host is not None:
-                    sims_dev[fi] = _add_host_matrix(sims_dev[fi], host)
-            with timer.phase("classify_stack"):
-                sims_all = jax.block_until_ready(jnp.stack(sims_dev))
-                sims_dev = [None] * F
+            cfile = np.empty(0, np.int32)
+            crows = ccols = np.empty(0, np.int32)
+            cvals = np.empty(0, np.int32)
 
-            if corr:
-                cfile = np.concatenate(
-                    [np.full(len(r), fi, np.int32) for fi, r, _, _ in corr])
-                crows = np.concatenate([r for _, r, _, _ in corr])
-                ccols = np.concatenate([c for _, _, c, _ in corr])
-                cvals = np.concatenate([v for _, _, _, v in corr])
-                # bucket-pad to limit recompiles; padded entries carry an
-                # out-of-range file index and scatter in 'drop' mode
-                k = max(256, 1 << int(np.ceil(np.log2(len(cfile)))))
-                pad = k - len(cfile)
-                cfile = np.pad(cfile, (0, pad), constant_values=F)
-                crows = np.pad(crows, (0, pad))
-                ccols = np.pad(ccols, (0, pad))
-                cvals = np.pad(cvals, (0, pad))
-            else:
-                cfile = np.empty(0, np.int32)
-                crows = ccols = np.empty(0, np.int32)
-                cvals = np.empty(0, np.int32)
-
-            with timer.phase("classify_run"):
-                types, taxid, sim = jax.block_until_ready(
-                    _classify_program(
-                        sims_all, jnp.asarray(crows), jnp.asarray(ccols),
-                        jnp.asarray(cvals), jnp.asarray(cfile),
-                        jnp.asarray(tax), jnp.asarray(rank_matrix),
-                        jnp.asarray(valid_t), error, norm, beta, F,
-                        config.tax_rank, config.assign_higher, not wide,
-                        block))
+        with timer.phase("classify_run"):
+            types, taxid, sim = jax.block_until_ready(
+                _classify_program(
+                    sims_all, jnp.asarray(crows), jnp.asarray(ccols),
+                    jnp.asarray(cvals), jnp.asarray(cfile),
+                    jnp.asarray(tax), jnp.asarray(rank_matrix),
+                    jnp.asarray(valid_t), error, norm, beta, F,
+                    config.tax_rank, config.assign_higher, not wide,
+                    block))
         with timer.phase("classify_fetch"):
             with timer.phase("fetch_types"):
                 t_h = np.asarray(types)

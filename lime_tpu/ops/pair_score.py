@@ -357,6 +357,84 @@ def pair_score_packed_into(sim: jax.Array, arrays, chunks, windows,
     return sim
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _coo_scatter_block(sim, drow, col, val, base_row):
+    """Fold one delta-COO chain into the similarity plane.
+
+    The hybrid engine's uplink for host-scored clusters
+    (native.coo_compact): rows are a cumsum of u8 deltas from
+    ``base_row``, values are pre-wrapped u8 (bitcast to int8 so the adds
+    wrap mod 256 — the reference's uchar counters,
+    src/ClusterBWT_DA.cpp:183) or u32 in wide mode.  Bridge/pad entries
+    carry val=0 and scatter as no-ops.  One 1-D scatter (2-coordinate
+    scatters measured ~10x slower on this backend).
+    """
+    rows = base_row + jnp.cumsum(drow.astype(jnp.int32))
+    g_pad = sim.shape[1]
+    flat = rows * g_pad + col.astype(jnp.int32)
+    v = lax.bitcast_convert_type(
+        val, jnp.int8 if sim.dtype == jnp.int8 else jnp.int32)
+    shape = sim.shape
+    out = sim.reshape(-1).at[flat].add(v, mode="promise_in_bounds")
+    return out.reshape(shape)
+
+
+def merge_coo_segments(segs):
+    """Concatenate native.coo_compact's per-thread segments into ONE
+    delta chain (single upload per collection — the relay charges a
+    fixed cost per transfer).  Cross-segment gaps splice in bridge
+    entries; returns ``(base_row, drow, col, val)`` or None if empty.
+    """
+    if not segs:
+        return None
+    parts_d, parts_c, parts_v = [], [], []
+    base0 = segs[0][0]
+    last = base0
+    for base, drow, col, val in segs:
+        seg_last = base + int(np.sum(drow.astype(np.int64)))
+        first_abs = base + int(drow[0])
+        gap = first_abs - last
+        assert gap >= 0, "segments out of row order"
+        n_bridge = 0
+        while gap > 255:
+            n_bridge += 1
+            gap -= 255
+        if n_bridge:
+            parts_d.append(np.full(n_bridge, 255, np.uint8))
+            parts_c.append(np.zeros(n_bridge, col.dtype))
+            parts_v.append(np.zeros(n_bridge, val.dtype))
+        drow = drow.copy()
+        drow[0] = gap
+        parts_d.append(drow)
+        parts_c.append(col)
+        parts_v.append(val)
+        last = seg_last
+    return (base0, np.concatenate(parts_d), np.concatenate(parts_c),
+            np.concatenate(parts_v))
+
+
+def coo_scatter_into(sim: jax.Array, chain) -> jax.Array:
+    """Upload one merged delta-COO chain and scatter it into ``sim``.
+
+    Pads to a pow2 ladder (>= 64K entries) so the device program has a
+    handful of static shapes; pad entries are zero-value no-ops.
+    Dispatch is asynchronous.
+    """
+    base0, drow, col, val = chain
+    n = len(drow)
+    size = 1 << 16
+    while size < n:
+        size <<= 1
+    pad = size - n
+    if pad:
+        drow = np.pad(drow, (0, pad))
+        col = np.pad(col, (0, pad))
+        val = np.pad(val, (0, pad))
+    return _coo_scatter_block(sim, jax.device_put(drow),
+                              jax.device_put(col), jax.device_put(val),
+                              jnp.int32(base0))
+
+
 def _cut_at_copy(packed: np.ndarray, lo: int, hi: int) -> int:
     """Largest copy-start index in (lo, hi] — every copy is <= 255 rows,
     so one exists within the last 256 positions of any window."""
