@@ -120,6 +120,28 @@ def _classify_program(sims, crows, ccols, cvals, cfile, tax, rank_matrix,
                              is_mod, block)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_files", "tax_rank", "assign_higher", "is_mod",
+                     "block"),
+    donate_argnums=(0,))
+def _classify_program_planes(sims_list, crows, ccols, cvals, cfile, tax,
+                             rank_matrix, valid_t, error, norm, beta,
+                             num_files: int, tax_rank: int,
+                             assign_higher: bool, is_mod: bool, block: int):
+    """_classify_program over per-file planes: the stack happens inside
+    the one classify launch (each program launch through the relay costs
+    ~50-100 ms, and the donated planes die here instead of surviving a
+    separate stack program)."""
+    sims = jnp.stack(sims_list)
+    if crows.shape[0]:
+        sims = sims.at[cfile, crows, ccols].add(
+            cvals.astype(sims.dtype), mode="drop")
+    return blockwise_cascade(sims, tax, rank_matrix, valid_t, error, norm,
+                             beta, num_files, tax_rank, assign_higher,
+                             is_mod, block)
+
+
 def _dense_threshold_for(num_genomes: int, config: LimeConfig) -> int:
     """Genome-position threshold for TPU routing (see LimeConfig).
 
@@ -271,36 +293,23 @@ def _warm_d2h_async() -> None:
     threading.Thread(target=warm, daemon=True).start()
 
 
-_link_bw_cache = None
+# True delivered host->device bandwidth (GB/s), measured by the uplink
+# worker from real transfers: elapsed time from device_put to the scatter
+# result being READY on device (an active probe is useless here — the
+# relay acknowledges device_put as soon as it has buffered the bytes
+# locally, so only a dependent device computation observes delivery).
+_measured_link_bw = None
 
 
-def _probe_link_bandwidth() -> float:
-    """Sustained host->device bandwidth (GB/s), two-point probed.
-
-    Measures a 2 MB and an 18 MB upload and takes the slope, which
-    cancels the link's fixed per-transfer cost (the axon relay charges
-    ~0.1-0.3 s per transfer; a one-point probe would understate a
-    healthy link).  Cached per process; override with LIME_LINK_GBPS.
-    """
-    global _link_bw_cache
-    if _link_bw_cache is None:
-        import os
-        import time
-
-        env = os.environ.get("LIME_LINK_GBPS")
-        if env:
-            _link_bw_cache = float(env)
-            return _link_bw_cache
-        rng = np.random.default_rng(0)
-        times = []
-        for mb in (2, 18):
-            a = rng.integers(0, 255, mb << 20, dtype=np.uint8)
-            t0 = time.perf_counter()
-            jax.block_until_ready(jax.device_put(a))
-            times.append(time.perf_counter() - t0)
-        slope = max(times[1] - times[0], 1e-6)
-        _link_bw_cache = (16 << 20) / 1e9 / slope
-    return _link_bw_cache
+def _relay_attached() -> bool:
+    """True when the device sits behind a socket relay (axon tunnel) —
+    the degraded-link regime the hybrid split defaults into until a
+    real measurement arrives."""
+    try:
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+        return "axon" in str(ver).lower()
+    except Exception:  # pragma: no cover - conservative default
+        return False
 
 
 # Stream bytes per emitted pair-stream row (W=20: 20/8 rows + 5/8 bits +
@@ -338,7 +347,13 @@ def _host_split_for(config: LimeConfig, num_reads: int, num_genomes: int,
         cap = int(os.environ.get("LIME_HOST_MATRIX_CAP", 32 << 30))
         if num_reads * num_genomes * cell > cap:
             return 0
-        bw = _probe_link_bandwidth() * 1e9
+        if _measured_link_bw is None:
+            # no real transfer measured yet: behind the relay assume
+            # degraded (all-host is the safe side — at worst it costs
+            # one collection of host CPU before feedback kicks in);
+            # direct-attached devices start pure-device
+            return 256 if _relay_attached() else 0
+        bw = _measured_link_bw * 1e9
         rate = _HOST_POS_PER_SEC_CORE * min(os.cpu_count() or 1, 16)
         a = _STREAM_BYTES_PER_ROW * rate / max(bw, 1.0)
         f = a / (1.0 + a)
@@ -403,6 +418,10 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     # Hybrid host/device split (0..256): this /256 share of clusters is
     # hash-routed to the host SIMD scorer at plan time and uplinked as
     # delta-COO nonzeros — the adaptive answer to a degraded link.
+    import os as _os
+
+    host_auto = (pair and config.host_frac is None
+                 and _os.environ.get("LIME_HOST_FRAC") is None)
     host_num = _host_split_for(config, num_reads, num_genomes,
                                wide) if pair else 0
     scratch = None  # reusable dense host plane for the hybrid path
@@ -466,6 +485,21 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
         _warm_d2h_async()
 
+        # classify-side constants ship NOW, while the wire is idle —
+        # lazy device_puts inside the classify phase would each pay the
+        # relay's fixed per-transfer cost on the critical path
+        tax_h = np.zeros(g_pad, np.uint32)
+        tax_h[:num_genomes] = lineage.at_rank(config.tax_rank)
+        rank_h = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
+        rank_h[:, :num_genomes] = lineage.taxids
+        taxd = jax.device_put(tax_h)
+        rankd = jax.device_put(rank_h)
+        validd = jax.device_put(np.arange(g_pad) < num_genomes)
+        normd = jax.device_put(
+            np.float32(np.uint32(read_len + 1 - config.alpha)))
+        errord = jax.device_put(np.float32(config.error_tolerance))
+        betad = jax.device_put(np.float32(config.beta))
+
         # One-ahead IO prefetch: the next collection's index loads from
         # disk while this one plans (C++, GIL released) and host-scores
         # (OpenMP) — the reference pays the same IO strictly serially.
@@ -473,8 +507,66 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
         def prefetch(fi):
             nxt[fi] = load(collections[fi])
+            # warm the page cache with sequential reads so the next
+            # collection's planner scan (memmap-fed) doesn't stall on
+            # disk — the reads happen here, overlapped with the current
+            # collection's host scoring / uploads
+            try:
+                buf = bytearray(8 << 20)
+                exts = [".lcp", ".da"] + ([".ebwt"] if config.use_ebwt
+                                          else [])
+                for ext in exts:
+                    with open(collections[fi] + ext, "rb",
+                              buffering=0) as fh:
+                        while fh.readinto(buf):
+                            pass
+            except OSError:  # pragma: no cover - warming is best-effort
+                pass
 
         th = None
+        th_up = None  # tail of the chained device-dispatch worker queue
+        up_errors = []
+
+        def submit(fn, nbytes=0):
+            """Chain a device-dispatch job onto the uplink worker queue.
+
+            device_put through the relay blocks for the wire time, so ALL
+            uploads (pair-stream chunks, MXU dense chunks, delta-COO
+            chains) run on worker threads while the main thread plans and
+            host-scores the next collection (C++, GIL released).  Jobs
+            chain so transfers serialize in order; each job blocks on its
+            device result and reports the TRUE delivered bandwidth into
+            ``_measured_link_bw`` — the feedback that retunes the hybrid
+            split for the following collections (the relay acks
+            device_put once buffered, so only a dependent device result
+            observes actual delivery).
+            """
+            import time as _time
+
+            nonlocal th_up
+            prev = th_up
+
+            def run():
+                global _measured_link_bw
+                if prev is not None:
+                    prev.join()
+                if up_errors:
+                    return
+                t0 = _time.perf_counter()
+                try:
+                    out = fn()
+                    if out is not None:
+                        jax.block_until_ready(out)
+                except Exception as e:  # noqa: BLE001 - reraised at join
+                    up_errors.append(e)
+                    return
+                dt = _time.perf_counter() - t0
+                if nbytes and dt > 0.05:
+                    _measured_link_bw = nbytes / 1e9 / dt
+
+            th_up = threading.Thread(target=run)
+            th_up.start()
+
         with timer.phase("load"):
             arrays = load(collections[0])
         for fi in range(F):
@@ -486,22 +578,34 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                 th = threading.Thread(target=prefetch, args=(fi + 1,))
                 th.start()
             if pair:
+                if host_auto:
+                    # feedback retune: real measured delivery rate from
+                    # earlier collections' uploads adjusts the split
+                    host_num = _host_split_for(config, num_reads,
+                                               num_genomes, wide)
                 with timer.phase("plan"):
                     (pk_arrays, chunks, windows, row_bits, dense_start,
                      dense_len, bad_start, bad_len) = plan_pair(arrays)
                 if chunks:
-                    # async device dispatch; the G-independent kernel
-                    # overlaps later collections' planning
+                    # chained-worker dispatch; the uploads drain while
+                    # later collections plan and host-score
                     from .pair_score import pair_score_packed_into
 
                     nb = sum(a.nbytes for a in pk_arrays)
-                    with timer.phase("dispatch", nbytes=nb):
+                    timer.add_bytes("uplink_sync", nb)
+
+                    def job_stream(fi=fi, pk_arrays=pk_arrays,
+                                   chunks=chunks, windows=windows,
+                                   row_bits=row_bits):
                         if sims_dev[fi] is None:
                             sims_dev[fi] = jnp.zeros((r_pad, g_pad),
                                                      dev_dtype)
                         sims_dev[fi] = pair_score_packed_into(
                             sims_dev[fi], pk_arrays, chunks, windows,
                             row_bits, num_reads, g_pad)
+                        return sims_dev[fi]
+
+                    submit(job_stream, nbytes=nb)
             else:
                 with timer.phase("plan"):
                     (packed, doc, nc, window, bad_start, bad_len,
@@ -569,12 +673,17 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                                                num_genomes, wide=wide))
                         if chain is not None:
                             nb = (len(chain[1]) * (7 if wide else 4))
-                            with timer.phase("dispatch", nbytes=nb):
+                            timer.add_bytes("uplink_sync", nb)
+
+                            def job_coo(fi=fi, chain=chain):
                                 if sims_dev[fi] is None:
                                     sims_dev[fi] = jnp.zeros(
                                         (r_pad, g_pad), dev_dtype)
                                 sims_dev[fi] = coo_scatter_into(
                                     sims_dev[fi], chain)
+                                return sims_dev[fi]
+
+                            submit(job_coo, nbytes=nb)
             arrays = None
 
         # ship host-scored matrices as per-file 2D transfers: this relay
@@ -585,26 +694,19 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
     # queued complete *here*.  Without this barrier the wait would be
     # silently attributed to the classify phase (round-2's misleading
     # phase report).
+    with timer.phase("uplink_sync"):
+        if th_up is not None:
+            th_up.join()
+        if up_errors:
+            raise up_errors[0]
     with timer.phase("score_sync"):
         live = [s for s in sims_dev if s is not None]
         if live:
             jax.block_until_ready(live)
     with timer.phase("classify"):
-        tax = np.zeros(g_pad, np.uint32)
-        tax[:num_genomes] = lineage.at_rank(config.tax_rank)
-        rank_matrix = np.zeros((lineage.taxids.shape[0], g_pad), np.uint32)
-        rank_matrix[:, :num_genomes] = lineage.taxids
-        valid_t = np.arange(g_pad) < num_genomes
-        norm = jnp.float32(np.uint32(read_len + 1 - config.alpha))
-        error = jnp.float32(config.error_tolerance)
-        beta = jnp.float32(config.beta)
-
         for fi in range(F):
             if sims_dev[fi] is None:
                 sims_dev[fi] = jnp.zeros((r_pad, g_pad), dev_dtype)
-        with timer.phase("classify_stack"):
-            sims_all = jax.block_until_ready(jnp.stack(sims_dev))
-            sims_dev = [None] * F
 
         if corr:
             cfile = np.concatenate(
@@ -627,13 +729,13 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
         with timer.phase("classify_run"):
             types, taxid, sim = jax.block_until_ready(
-                _classify_program(
-                    sims_all, jnp.asarray(crows), jnp.asarray(ccols),
-                    jnp.asarray(cvals), jnp.asarray(cfile),
-                    jnp.asarray(tax), jnp.asarray(rank_matrix),
-                    jnp.asarray(valid_t), error, norm, beta, F,
-                    config.tax_rank, config.assign_higher, not wide,
-                    block))
+                _classify_program_planes(
+                    tuple(sims_dev), jnp.asarray(crows),
+                    jnp.asarray(ccols), jnp.asarray(cvals),
+                    jnp.asarray(cfile), taxd, rankd, validd, errord,
+                    normd, betad, F, config.tax_rank,
+                    config.assign_higher, not wide, block))
+            sims_dev = [None] * F
         with timer.phase("classify_fetch"):
             with timer.phase("fetch_types"):
                 t_h = np.asarray(types)
