@@ -1113,9 +1113,73 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
     uint8_t* out8 = static_cast<uint8_t*>(out);
     uint32_t* out32 = static_cast<uint32_t*>(out);
     uint64_t* keys = sc.keys.data();
+    // Cross-cluster write batching: the matrix writes are random (one
+    // cache miss each), so (cell << 8 | t) pairs accumulate across
+    // clusters and flush in a prefetched loop — the misses overlap
+    // instead of serializing behind each tiny cluster's math.
+    std::vector<uint64_t> pairbuf(kMaxClu);
+    i64 np = 0;
+    auto flush = [&]() {
+      for (i64 p = 0; p < np; p++) {
+        if (p + 8 < np)
+          __builtin_prefetch(out8 + (pairbuf[p + 8] >> 8), 1, 1);
+        const i64 cell = static_cast<i64>(pairbuf[p] >> 8);
+        out8[cell] =
+            static_cast<uint8_t>(out8[cell] + (pairbuf[p] & 0xFF));
+      }
+      np = 0;
+    };
     for (i64 c = c_lo; c < c_hi; c++) {
       const i64 s = starts[c], len = lens[c];
       if (len > kMaxClu) continue;  // guarded upstream (sizeMaxBuf)
+      if (!wide && ebwt && len <= 32) {
+        // Small-cluster fast path (the overwhelming majority: mean
+        // cluster length ~7 at the paper scale): no 64-bit key sort, no
+        // segment scratch — a linear doc table with the 4 ACGT counts
+        // packed into one u32 (counts <= 32 never carry across bytes).
+        // Falls through to the general path on any non-ACGT symbol
+        // (IUPAC waterfall, reference src/ClusterBWT_DA.cpp:146-177).
+        uint32_t docs[32];
+        uint32_t hh[32];
+        int nd = 0;
+        bool pure = true;
+        for (i64 j = 0; j < len && pure; j++) {
+          const unsigned sy = sym_lut[ebwt[s + j]] & 15;
+          pure = sy < 4;
+          const uint32_t d = da[s + j];
+          int t = 0;
+          while (t < nd && docs[t] != d) t++;
+          if (t == nd) {
+            docs[nd] = d;
+            hh[nd] = 0;
+            nd++;
+          }
+          hh[t] += 1u << (8 * sy);
+        }
+        if (pure) {
+          if (np + len * len > static_cast<i64>(pairbuf.size())) flush();
+          for (int a = 0; a < nd; a++) {
+            if (docs[a] >= static_cast<uint32_t>(num_reads)) continue;
+            const uint32_t x = hh[a];
+            const i64 base =
+                static_cast<i64>(docs[a]) * stride - num_reads;
+            for (int b = 0; b < nd; b++) {
+              if (docs[b] < static_cast<uint32_t>(num_reads)) continue;
+              const uint32_t y = hh[b];
+              uint32_t t = 0;
+              for (int x8 = 0; x8 < 32; x8 += 8) {
+                const uint32_t rx = (x >> x8) & 0xFF;
+                const uint32_t gy = (y >> x8) & 0xFF;
+                t += rx < gy ? rx : gy;
+              }
+              pairbuf[np++] =
+                  (static_cast<uint64_t>(base + docs[b]) << 8) |
+                  (t & 0xFF);
+            }
+          }
+          continue;
+        }
+      }
       bool cluster_deg = false;
       if (ebwt) {
         for (i64 j = 0; j < len; j++) {
@@ -1174,38 +1238,23 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
         n_seg++;
       }
       if (fast8) {
-        // Hot path.  The matrix writes are random (one cache miss each);
-        // computing the cluster's (cell, t) pairs first and issuing the
-        // writes in a tight prefetched loop lets the core overlap the
-        // misses instead of serializing them behind the histogram math.
-        // the pair buffer reuses the (consumed) keys scratch; t enters
-        // mod 256, which is exactly what the u8 accumulate needs
-        i64 np = 0;
-        auto flush = [&]() {
-          for (i64 p = 0; p < np; p++) {
-            if (p + 8 < np)
-              __builtin_prefetch(out8 + (sc.keys[p + 8] >> 8), 1, 1);
-            const i64 cell = static_cast<i64>(sc.keys[p] >> 8);
-            out8[cell] = static_cast<uint8_t>(out8[cell] +
-                                              (sc.keys[p] & 0xFF));
-          }
-          np = 0;
-        };
+        // Hot path: (cell, t) pairs into the shared cross-cluster batch;
+        // t enters mod 256, which is exactly what the u8 accumulate needs
         for (i64 ri = 0; ri < n_rseg; ri++) {
           const i64 base =
               static_cast<i64>(sc.seg_doc[ri]) * stride - num_reads;
           const uint8_t* rh8 = &sc.seg_h8[ri * 16];
-          if (np + (n_seg - n_rseg) > kMaxClu) flush();
+          if (np + (n_seg - n_rseg) > static_cast<i64>(pairbuf.size()))
+            flush();
           for (i64 gi = n_rseg; gi < n_seg; gi++) {
             const uint8_t* gh8 = &sc.seg_h8[gi * 16];
             uint32_t t = 0;
             for (int x = 0; x < 16; x++)
               t += rh8[x] < gh8[x] ? rh8[x] : gh8[x];
-            sc.keys[np++] = (static_cast<uint64_t>(base + sc.seg_doc[gi])
+            pairbuf[np++] = (static_cast<uint64_t>(base + sc.seg_doc[gi])
                              << 8) | (t & 0xFF);
           }
         }
-        flush();
         continue;
       }
       for (i64 ri = 0; ri < n_rseg; ri++) {
@@ -1263,6 +1312,7 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
         }
       }
     }
+    flush();
   };
 
   if (threads == 1 || n_clusters < 64) {
@@ -1291,21 +1341,46 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
     if (lo < hi)
       score_range(lo, hi, out, sc, tid > 0 ? num_refs : row_stride);
   }
-  for (auto& part : partials) {
-    if (part.empty()) continue;
-    if (wide) {
-      uint32_t* dst = static_cast<uint32_t*>(sim_out);
-      const uint32_t* src = reinterpret_cast<const uint32_t*>(part.data());
-      for (i64 r = 0; r < num_reads; r++)
-        for (i64 g = 0; g < num_refs; g++)
-          dst[r * row_stride + g] += src[r * num_refs + g];
-    } else {
-      uint8_t* dst = static_cast<uint8_t*>(sim_out);
-      const uint8_t* src = part.data();
-      for (i64 r = 0; r < num_reads; r++)
-        for (i64 g = 0; g < num_refs; g++)
-          dst[r * row_stride + g] = static_cast<uint8_t>(
-              dst[r * row_stride + g] + src[r * num_refs + g]);
+  // Merge in parallel over row ranges; partials are overwhelmingly zero
+  // (nnz is ~1% of cells at the paper scale), so the u8 path skips
+  // 8-byte zero words — the serial dense merge measured ~0.9 s of a
+  // 3.3 s call before this.
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    const i64 r0 = num_reads * tid / threads;
+    const i64 r1 = num_reads * (tid + 1) / threads;
+    for (auto& part : partials) {
+      if (part.empty()) continue;
+      if (wide) {
+        uint32_t* dst = static_cast<uint32_t*>(sim_out);
+        const uint32_t* src =
+            reinterpret_cast<const uint32_t*>(part.data());
+        for (i64 r = r0; r < r1; r++)
+          for (i64 g = 0; g < num_refs; g++)
+            dst[r * row_stride + g] += src[r * num_refs + g];
+      } else {
+        uint8_t* dst = static_cast<uint8_t*>(sim_out);
+        const uint8_t* src = part.data();
+        for (i64 r = r0; r < r1; r++) {
+          const uint8_t* sr = src + r * num_refs;
+          uint8_t* dr = dst + r * row_stride;
+          i64 g = 0;
+          for (; g + 8 <= num_refs; g += 8) {
+            uint64_t w;
+            std::memcpy(&w, sr + g, 8);
+            if (!w) continue;
+            for (int x = 0; x < 8; x++)
+              dr[g + x] = static_cast<uint8_t>(dr[g + x] + sr[g + x]);
+          }
+          for (; g < num_refs; g++)
+            dr[g] = static_cast<uint8_t>(dr[g] + sr[g]);
+        }
+      }
     }
   }
   return 0;
