@@ -109,7 +109,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.lime_coo_compact.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
@@ -497,7 +497,8 @@ def score_clusters_native(starts: np.ndarray, lens: np.ndarray,
 
 
 def coo_compact(mat: np.ndarray, num_reads: int, num_refs: int,
-                wide: bool = False, threads: int = 0):
+                wide: bool = False, threads: int = 0,
+                max_drow: int = 255):
     """Compact a dense similarity plane to the delta-COO uplink format.
 
     Returns a list of per-thread segments ``(base_row, drow_u8, col_u16,
@@ -524,7 +525,7 @@ def coo_compact(mat: np.ndarray, num_reads: int, num_refs: int,
         seg = np.zeros(3 * threads, np.int64)
         rc = lib.lime_coo_compact(
             mat.ctypes.data, num_reads, num_refs, row_stride,
-            int(wide), threads, cap,
+            int(wide), threads, cap, max_drow,
             drow.ctypes.data, col.ctypes.data, val.ctypes.data,
             seg.ctypes.data)
         if rc >= 0:

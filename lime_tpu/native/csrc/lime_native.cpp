@@ -1435,9 +1435,11 @@ int64_t lime_format_csv(const uint8_t* types, const uint32_t* taxid,
 int64_t lime_coo_compact(const void* mat, int64_t num_reads,
                          int64_t num_refs, int64_t row_stride,
                          int64_t wide, int64_t threads, int64_t cap,
+                         int64_t max_drow,
                          uint8_t* drow_out, uint16_t* col_out,
                          void* val_out, int64_t* seg_meta) {
   if (num_reads <= 0 || num_refs <= 0 || row_stride < num_refs) return -1;
+  if (max_drow < 1 || max_drow > 255) return -1;
   if (num_refs > 65536) return -2;
   if (threads < 1) threads = 1;
   if (threads > 16) threads = 16;
@@ -1465,7 +1467,7 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
         for (i64 g = 0; g < num_refs; g++) nz += p[g] != 0;
       }
       if (!nz) continue;
-      c += (r - last - 1) / 255;  // bridges
+      c += (r - last - 1) / max_drow;  // bridges
       c += nz;
       last = r;
     }
@@ -1499,12 +1501,12 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
       }
       if (!nz) continue;
       i64 gap = r - last;
-      while (gap > 255) {
-        drow_out[w] = 255;
+      while (gap > max_drow) {
+        drow_out[w] = static_cast<uint8_t>(max_drow);
         col_out[w] = 0;
         if (wide) v32[w] = 0; else v8[w] = 0;
         w++;
-        gap -= 255;
+        gap -= max_drow;
       }
       bool first = true;
       for (i64 g = 0; g < num_refs; g++) {

@@ -567,6 +567,23 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             th_up = threading.Thread(target=run)
             th_up.start()
 
+        if stack_bytes * 3 + (1 << 30) < 15 << 30:
+            # pre-warm the classify executable on zeroed planes through
+            # the worker chain: the relay charges a multi-second
+            # first-execution load per program, and paying it here
+            # overlaps it with planning/host-scoring (gated on HBM
+            # headroom for the throwaway planes + stack)
+            def job_warm_classify():
+                planes = tuple(jnp.zeros((r_pad, g_pad), dev_dtype)
+                               for _ in range(F))
+                e0 = jnp.zeros(0, jnp.int32)
+                return _classify_program_planes(
+                    planes, e0, e0, e0, e0, taxd, rankd, validd, errord,
+                    normd, betad, F, config.tax_rank,
+                    config.assign_higher, not wide, block)
+
+            submit(job_warm_classify)
+
         with timer.phase("load"):
             arrays = load(collections[0])
         for fi in range(F):
@@ -668,19 +685,26 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                             num_reads, num_genomes, SYMBOL_RANK_LUT,
                             _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
                             wide=wide, threads=0, out=scratch)
+                        # coo24 (3 B/entry, one buffer) whenever the
+                        # genome column fits 12 bits; legacy 3-array
+                        # format for wide counters / ultra-wide DBs
+                        p24 = (not wide) and num_genomes < 4096
                         chain = merge_coo_segments(
-                            native.coo_compact(scratch, num_reads,
-                                               num_genomes, wide=wide))
+                            native.coo_compact(
+                                scratch, num_reads, num_genomes,
+                                wide=wide, max_drow=15 if p24 else 255),
+                            max_drow=15 if p24 else 255)
                         if chain is not None:
-                            nb = (len(chain[1]) * (7 if wide else 4))
+                            nb = (len(chain[1]) * (3 if p24 else
+                                                   7 if wide else 4))
                             timer.add_bytes("uplink_sync", nb)
 
-                            def job_coo(fi=fi, chain=chain):
+                            def job_coo(fi=fi, chain=chain, p24=p24):
                                 if sims_dev[fi] is None:
                                     sims_dev[fi] = jnp.zeros(
                                         (r_pad, g_pad), dev_dtype)
                                 sims_dev[fi] = coo_scatter_into(
-                                    sims_dev[fi], chain)
+                                    sims_dev[fi], chain, packed24=p24)
                                 return sims_dev[fi]
 
                             submit(job_coo, nbytes=nb)

@@ -379,11 +379,12 @@ def _coo_scatter_block(sim, drow, col, val, base_row):
     return out.reshape(shape)
 
 
-def merge_coo_segments(segs):
+def merge_coo_segments(segs, max_drow: int = 255):
     """Concatenate native.coo_compact's per-thread segments into ONE
     delta chain (single upload per collection — the relay charges a
     fixed cost per transfer).  Cross-segment gaps splice in bridge
-    entries; returns ``(base_row, drow, col, val)`` or None if empty.
+    entries (row deltas capped at ``max_drow``, matching the compactor);
+    returns ``(base_row, drow, col, val)`` or None if empty.
     """
     if not segs:
         return None
@@ -396,11 +397,11 @@ def merge_coo_segments(segs):
         gap = first_abs - last
         assert gap >= 0, "segments out of row order"
         n_bridge = 0
-        while gap > 255:
+        while gap > max_drow:
             n_bridge += 1
-            gap -= 255
+            gap -= max_drow
         if n_bridge:
-            parts_d.append(np.full(n_bridge, 255, np.uint8))
+            parts_d.append(np.full(n_bridge, max_drow, np.uint8))
             parts_c.append(np.zeros(n_bridge, col.dtype))
             parts_v.append(np.zeros(n_bridge, val.dtype))
         drow = drow.copy()
@@ -413,11 +414,34 @@ def merge_coo_segments(segs):
             np.concatenate(parts_v))
 
 
-def coo_scatter_into(sim: jax.Array, chain) -> jax.Array:
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+def _coo_scatter_block24(sim, buf, base_row, n: int):
+    """Packed coo24 chain: one u8 buffer of three n-length planes
+    ``[drow4|colhi4][col_lo][val]`` (3 B/entry, one transfer; genome
+    columns up to 4095, row deltas up to 15 with bridge entries).
+    Decode is slices + shifts on 1-D u8 — no small-minor-dim reshapes
+    (XLA tiles those to 128 lanes)."""
+    d = lax.dynamic_slice_in_dim(buf, 0, n)
+    col = ((d & 15).astype(jnp.int32) << 8) | \
+        lax.dynamic_slice_in_dim(buf, n, n).astype(jnp.int32)
+    val = lax.bitcast_convert_type(
+        lax.dynamic_slice_in_dim(buf, 2 * n, n), jnp.int8)
+    rows = base_row + jnp.cumsum((d >> 4).astype(jnp.int32))
+    g_pad = sim.shape[1]
+    flat = rows * g_pad + col
+    shape = sim.shape
+    out = sim.reshape(-1).at[flat].add(val, mode="promise_in_bounds")
+    return out.reshape(shape)
+
+
+def coo_scatter_into(sim: jax.Array, chain,
+                     packed24: bool = False) -> jax.Array:
     """Upload one merged delta-COO chain and scatter it into ``sim``.
 
     Pads to a pow2 ladder (>= 64K entries) so the device program has a
     handful of static shapes; pad entries are zero-value no-ops.
+    ``packed24`` selects the 3-byte single-buffer format (requires the
+    chain compacted with max_drow=15 and < 4096 genome columns).
     Dispatch is asynchronous.
     """
     base0, drow, col, val = chain
@@ -426,6 +450,14 @@ def coo_scatter_into(sim: jax.Array, chain) -> jax.Array:
     while size < n:
         size <<= 1
     pad = size - n
+    if packed24:
+        col = col.astype(np.uint16)
+        buf = np.zeros(3 * size, np.uint8)
+        buf[:n] = (drow << 4) | (col >> 8).astype(np.uint8)
+        buf[size:size + n] = (col & 255).astype(np.uint8)
+        buf[2 * size:2 * size + n] = val
+        return _coo_scatter_block24(sim, jax.device_put(buf),
+                                    jnp.int32(base0), size)
     if pad:
         drow = np.pad(drow, (0, pad))
         col = np.pad(col, (0, pad))
