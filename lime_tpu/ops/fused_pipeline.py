@@ -267,6 +267,7 @@ def run_fused(collections: Sequence[str], num_reads: int, num_genomes: int,
 
 
 _d2h_warmed = False
+_warmed_paths: set = set()
 
 
 def _warm_d2h_async() -> None:
@@ -510,14 +511,19 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             # warm the page cache with sequential reads so the next
             # collection's planner scan (memmap-fed) doesn't stall on
             # disk — the reads happen here, overlapped with the current
-            # collection's host scoring / uploads
+            # collection's host scoring / uploads.  Once per path per
+            # process: re-warming an already-cached file is pure memcpy
+            # burned on the 2 cores the planner needs.
             try:
                 buf = bytearray(8 << 20)
                 exts = [".lcp", ".da"] + ([".ebwt"] if config.use_ebwt
                                           else [])
                 for ext in exts:
-                    with open(collections[fi] + ext, "rb",
-                              buffering=0) as fh:
+                    path = collections[fi] + ext
+                    if path in _warmed_paths:
+                        continue
+                    _warmed_paths.add(path)
+                    with open(path, "rb", buffering=0) as fh:
                         while fh.readinto(buf):
                             pass
             except OSError:  # pragma: no cover - warming is best-effort

@@ -125,6 +125,41 @@ def _pair_hits_core(m, dr, gs, sym, window) -> jnp.ndarray:
     return hits
 
 
+def _use_pallas() -> bool:
+    """Trace-time switch for the VMEM-resident Pallas pair kernel.
+
+    LIME_PAIR_PALLAS=1/0 forces; default on for real TPU backends (the
+    CPU interpreter path exists for tests but is slower than XLA there).
+    """
+    import os
+
+    env = os.environ.get("LIME_PAIR_PALLAS")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _hits_dispatch(bits, m, dr, gs, sym, window):
+    """Pick the pair-hits engine for one decoded chunk.
+
+    The Pallas kernel (ops/pallas_kernels.pair_hits_pallas) keeps the
+    chain/occ state in VMEM across all band offsets and runs ~1.2x the
+    fused XLA loop on TPU (measured 1097 vs 896 Mpos/s at window 16).
+    Its genome-side rows carry garbage counts (symmetric-pair
+    formulation); every caller drops them at scatter time.  Chunk sizes
+    are pow2 >= 65536 or 512K multiples, so the PAIR_TILE divisibility
+    requirement always holds in production.
+    """
+    n = bits.shape[-1]
+    from .pallas_kernels import PAIR_TILE, pair_hits_pallas
+
+    if _use_pallas() and n % PAIR_TILE == 0:
+        return pair_hits_pallas((bits & 31).astype(jnp.uint8), window)
+    return _pair_hits_core(m, dr, gs, sym, window)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _pair_score_block(sim, packed, flat, window):
     """One stream bucket: hits + one scalar scatter into the flat matrix.
@@ -187,7 +222,7 @@ def _pair_packed_block(sim, rows_w, bits_b, gcol, window, drop,
     m = ((bits >> 2) & 1).astype(bool)
     dr = ((bits >> 3) & 1).astype(bool)
     gs = ((bits >> 4) & 1).astype(bool)
-    hits = _pair_hits_core(m, dr, gs, sym, window)
+    hits = _hits_dispatch(bits, m, dr, gs, sym, window)
     copy_start = ((~m) & (~gs)).astype(jnp.int32)
     cidx = jnp.cumsum(copy_start) - 1
     gc = gcol[cidx].astype(jnp.int32)
@@ -245,7 +280,7 @@ def _pair_packed_block_offset_stack(stack, rows_w, bits_b, gcol, window,
     m = ((bits >> 2) & 1).astype(bool)
     dr = ((bits >> 3) & 1).astype(bool)
     gs = ((bits >> 4) & 1).astype(bool)
-    hits = _pair_hits_core(m, dr, gs, sym, window)
+    hits = _hits_dispatch(bits, m, dr, gs, sym, window)
     copy_start = ((~m) & (~gs)).astype(jnp.int32)
     cidx = jnp.cumsum(copy_start) - 1
     gc = gcol[cidx].astype(jnp.int32)
@@ -283,7 +318,7 @@ def _pair_packed_scan_class(stack, d_rows, d_bits, d_gcol, wos, bos, gos,
         m = ((bits >> 2) & 1).astype(bool)
         dr = ((bits >> 3) & 1).astype(bool)
         gs = ((bits >> 4) & 1).astype(bool)
-        hits = _pair_hits_core(m, dr, gs, sym, win)
+        hits = _hits_dispatch(bits, m, dr, gs, sym, win)
         copy_start = ((~m) & (~gs)).astype(jnp.int32)
         cidx = jnp.cumsum(copy_start) - 1
         gc = gcol[cidx].astype(jnp.int32)

@@ -193,6 +193,135 @@ def banded_pair_matrix(packed: jnp.ndarray, doc: jnp.ndarray, window,
     return v_gl[:, :n].T
 
 
+# ---------------------------------------------------------------------------
+# Pair-stream kernel: VMEM-resident band passes for the G-independent
+# engine (ops/pair_score).  The XLA formulation loops band offsets with
+# the chain/occ state round-tripping through HBM every offset —
+# O(window) passes of traffic.  Here a tile's state lives in VMEM across
+# all offsets of BOTH passes: HBM traffic = read the 1-byte codes once +
+# write the int32 hits once, independent of window (measured round 3:
+# the XLA loop ran at 21% of the HBM roofline by the per-offset traffic
+# model; this kernel removes the model's window factor entirely).
+#
+# Layout: positions split into 8 sublane rows of PAIR_SUB lanes each, so
+# every per-offset op is a full (8, ext) VPU tile instead of a (1, ext)
+# row vector idling 7/8 sublanes.  Each row DMAs its own PAIR_HALO-lane
+# halo on both sides (the only duplicated traffic, ~2x on the 1-byte
+# input); band shifts are per-row pltpu.roll lane rotations with a
+# traced shift, so one compiled program serves every window <= 255 —
+# rotation wrap garbage stays inside the halo lanes the math never
+# trusts (chain bits are 0 there: the planner opens every copy with
+# m=0/dr=0, and pad bytes are 0x10 = side-only).
+#
+# Row codes (the unpacked 5-bit planner lanes, ops/pair_score.py):
+#   bits 0-1 sym, bit 2 m (in-copy chain), bit 3 docrun, bit 4 side.
+# ---------------------------------------------------------------------------
+
+PAIR_SUB = 2048
+PAIR_HALO = 512
+PAIR_TILE = 8 * PAIR_SUB
+
+
+def _pair_kernel(win_ref, codes_hbm, out_ref, pk_s, sems, *,
+                 interpret: bool):
+    w = win_ref[0, 0]
+    i = pl.program_id(0)
+    ext = PAIR_SUB + 2 * PAIR_HALO
+
+    cp = pltpu.make_async_copy(
+        codes_hbm.at[pl.ds(i * PAIR_TILE, PAIR_TILE + 2 * PAIR_HALO)],
+        pk_s, sems)
+    cp.start()
+    cp.wait()
+
+    flat = pk_s[:]
+    # overlapping restack: row s covers positions [s*SUB - HALO,
+    # s*SUB + SUB + HALO) of the tile — one relayout per tile, so every
+    # band op below runs on full (8, ext) VPU tiles
+    pk = jnp.stack([flat[s * PAIR_SUB:s * PAIR_SUB + ext]
+                    for s in range(8)]).astype(jnp.int32)
+    sym = pk & 3
+    m32 = (pk >> 2) & 1
+    dr = (pk >> 3) & 1
+    gs = (pk >> 4) & 1
+
+    if interpret:  # np-backed interpreter lacks the TPU rotate primitive
+        def rot(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def rot(x, shift):
+            return pltpu.roll(x, shift, axis=1)
+
+    def bwd(x, o):
+        return rot(x, o)
+
+    def fwd(x, o):
+        return rot(x, ext - o)
+
+    def occ_step(o, carry):
+        chain, occ = carry
+        occ = occ + (chain & (sym == bwd(sym, o)).astype(jnp.int32))
+        return chain & bwd(dr, o), occ
+
+    _, occ = lax.fori_loop(1, w + 1, occ_step,
+                           (dr, jnp.zeros((8, ext), jnp.int32)))
+
+    # one fused comparison key: (occ, sym) equality in a single compare
+    # (occ <= 255, sym <= 3 -> key < 1024)
+    key = occ * 4 + sym
+
+    def hit_step(o, carry):
+        # Symmetric pair formulation: P[i] = 1 iff (i-o, i) lie in the
+        # same copy with equal (sym, occ) — identical seen from either
+        # end, so the backward hit is P & gs[i-o] and the forward hit at
+        # i-o is fwd(P & gs[i], o).  Genome-side rows accumulate garbage
+        # counts, but the caller's scatter drops them (flat = drop row
+        # for gs rows) — 4 lane rotations per offset instead of 8.
+        chain, hits = carry
+        p = chain & (key == bwd(key, o)).astype(jnp.int32)
+        hits = hits + (p & bwd(gs, o)) + fwd(p & gs, o)
+        return chain & bwd(m32, o), hits
+
+    _, hits = lax.fori_loop(1, w + 1, hit_step,
+                            (m32, jnp.zeros((8, ext), jnp.int32)))
+    out_ref[:] = hits[:, PAIR_HALO:PAIR_HALO + PAIR_SUB]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pair_hits_pallas(codes: jnp.ndarray, window,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Per-row genome-match counts over a pair-stream code array.
+
+    ``codes`` is a 1-D u8 array of unpacked 5-bit row codes whose length
+    is a multiple of PAIR_TILE (planner chunks are pow2 >= 65536 or 512K
+    multiples, so this always holds); ``window`` a traced i32 <= 255.
+    Semantics identical to ops.pair_score._pair_hits_core.
+    """
+    n = codes.shape[0]
+    padded = jnp.pad(codes, (PAIR_HALO, PAIR_HALO))
+    win = jnp.asarray(window, jnp.int32).reshape(1, 1)
+    ext = PAIR_SUB + 2 * PAIR_HALO
+
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, interpret=interpret),
+        grid=(n // PAIR_TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, PAIR_SUB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // PAIR_SUB, PAIR_SUB),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((PAIR_TILE + 2 * PAIR_HALO,), jnp.uint8),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(win, padded)
+    return out.reshape(n)
+
+
 def pack_stream(m, emit, sym):
     """Pack (m, emit, sym-rank) into the kernel's one-byte position code."""
     xp = np if isinstance(m, np.ndarray) else jnp

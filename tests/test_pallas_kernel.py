@@ -109,3 +109,45 @@ def test_pallas_tile_boundary_clusters():
         num_reads, num_refs, jnp.int32(window)))
     got = _sim_via_pallas(m, doc, sym, num_reads, num_refs, window)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pair_hits_pallas_matches_core():
+    """Pair-stream Pallas kernel vs the XLA core (read-side rows).
+
+    The symmetric-pair formulation leaves garbage counts on genome-side
+    rows (every caller scatter-drops them), so parity is asserted on
+    read-side rows.  Interpret mode on CPU; the same path runs compiled
+    when the bench executes this file on the real chip.
+    """
+    import os
+
+    import jax
+
+    from lime_tpu.ops.pair_score import _pair_hits_core
+    from lime_tpu.ops.pallas_kernels import PAIR_TILE, pair_hits_pallas
+
+    interpret = jax.default_backend() != "tpu" \
+        or not os.environ.get("LIME_TEST_TPU")
+    rng = np.random.default_rng(11)
+    n = PAIR_TILE
+    codes = np.zeros(n, np.uint8)
+    i = 0
+    while i < n:
+        copy_len = int(rng.integers(1, 14))
+        for j in range(min(copy_len, n - i)):
+            sym = rng.integers(0, 4)
+            m = 0 if j == 0 else 1
+            dr = 0 if (j == 0 or rng.random() < 0.5) else 1
+            gs = 0 if j == 0 else int(rng.random() < 0.4)
+            codes[i + j] = sym | (m << 2) | (dr << 3) | (gs << 4)
+        i += copy_len
+    for window in (3, 14):
+        w = jnp.int32(window)
+        m = jnp.asarray(((codes >> 2) & 1).astype(bool))
+        dr = jnp.asarray(((codes >> 3) & 1).astype(bool))
+        gs_np = ((codes >> 4) & 1).astype(bool)
+        sym = jnp.asarray((codes & 3).astype(np.int8))
+        ref = np.asarray(_pair_hits_core(m, dr, jnp.asarray(gs_np), sym, w))
+        got = np.asarray(pair_hits_pallas(jnp.asarray(codes), w,
+                                          interpret=interpret))
+        assert np.array_equal(ref[~gs_np], got[~gs_np]), window
