@@ -70,7 +70,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64,
@@ -303,7 +303,8 @@ def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
                       ebwt: np.ndarray | None, num_reads: int, alpha: int,
                       sym_lut: np.ndarray, deg_lut: np.ndarray,
                       dense_min: int = 16, chunk_pos: int = 1 << 22,
-                      num_refs: int | None = None, host_num: int = 0):
+                      num_refs: int | None = None, host_num: int = 0,
+                      dp: int = 1, rows_local: int = 0):
     """One C++ pass: cluster scan + routing + packed pair-chunk emission.
 
     The transfer-optimal pair plan (lime_plan_pairs_packed in csrc):
@@ -349,15 +350,15 @@ def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
     cap_w = (n + n // 8) // 8 * (W // 4) + (1 << 20)
     cap_b = (n + n // 8) // 8 * 5 + (1 << 20)
     cap_g = n // 2 + (1 << 16)
-    cap_c = max(64, 2 * n // chunk_pos + 16)
+    cap_c = max(64, 2 * n // chunk_pos + 16 + 6 * dp)
     for _ in range(2):
         rows = np.empty(cap_w, dtype=np.uint32)
         bits = np.empty(cap_b, dtype=np.uint8)
         gcol = np.empty(cap_g, dtype=np.uint16)
-        cmeta = np.empty(cap_c * 6, dtype=np.int64)
+        cmeta = np.empty(cap_c * 7, dtype=np.int64)
         rc = lib.lime_plan_pairs_packed(
             lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads, alpha,
-            dense_min, W, chunk_pos, host_num,
+            dense_min, W, chunk_pos, host_num, dp, rows_local,
             sym_lut.ctypes.data, deg_lut.ctypes.data,
             cap_w, cap_b, cap_g, cap_c,
             rows.ctypes.data, bits.ctypes.data, gcol.ctypes.data,
@@ -379,9 +380,9 @@ def plan_pairs_packed(lcp: np.ndarray, da: np.ndarray,
     windows = (int(meta[6]), int(meta[7]), int(meta[8]))
     chunks = []
     for c in range(n_chunks):
-        b, n_rows, wo, bo, go, gc = (int(v) for v in
-                                     cmeta[c * 6:c * 6 + 6])
-        chunks.append((b, n_rows, wo, bo, go, gc))
+        b, owner, n_rows, wo, bo, go, gc = (int(v) for v in
+                                            cmeta[c * 7:c * 7 + 7])
+        chunks.append((b, owner, n_rows, wo, bo, go, gc))
     arrays = (rows[:int(meta[0])], bits[:int(meta[1])],
               gcol[:int(meta[2])])
     return (arrays, chunks, windows, W,

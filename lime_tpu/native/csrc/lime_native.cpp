@@ -635,8 +635,10 @@ struct BucketPack {
 //                 num_reads (row ids < 2^W; genome rows carry row 0 and
 //                 side=1)
 //   chunk_pos   — rows per middle chunk (multiple of 8, e.g. 1<<22)
-//   chunk_meta  — out, 6 i64 per chunk:
-//                 [bucket, n_rows, words_off, bits_off, gcol_off, gcol_cnt]
+//   chunk_meta  — out, 7 i64 per chunk:
+//                 [bucket, owner, n_rows, words_off, bits_off, gcol_off,
+//                 gcol_cnt] (owner = dp shard owning the chunk's read
+//                 rows; always 0 when dp == 1)
 //   meta        — out: [needed_words, needed_bits, needed_gcol, n_chunks,
 //                 n_dense, n_bad, w0, w1, w2]
 //
@@ -646,6 +648,7 @@ int64_t lime_plan_pairs_packed(
     const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
     int64_t n, int64_t num_reads, uint32_t alpha, int64_t dense_min,
     int64_t row_bits, int64_t chunk_pos, int64_t host_num,
+    int64_t dp, int64_t rows_local,
     const uint8_t* sym_lut, const uint8_t* deg_lut,
     int64_t cap_words, int64_t cap_bits, int64_t cap_gcol,
     int64_t cap_chunks,
@@ -658,6 +661,14 @@ int64_t lime_plan_pairs_packed(
   if (row_bits != 20 && row_bits != 24 && row_bits != 28) return -2;
   if (num_reads > (static_cast<i64>(1) << row_bits)) return -3;
   if (chunk_pos < 65536 || (chunk_pos & 7)) return -4;
+  // dp-sliced emission (the SPMD engine's read-row ownership split):
+  // each cluster copy is re-emitted once per dp shard owning at least
+  // one of its read documents, with only that shard's read docs plus
+  // the genome rows — occurrence matching is per-document, so the
+  // sub-copy scores are exactly the owner's share of the copy's pairs.
+  if (dp < 1 || dp > 1024) return -6;
+  if (dp > 1 && rows_local < 1) return -6;
+  if (dp == 1) rows_local = num_reads + 1;  // single owner
   const int W = static_cast<int>(row_bits);
   const i64 BUCKET_CAP[3] = {16, 64, 255};
 
@@ -691,10 +702,11 @@ int64_t lime_plan_pairs_packed(
 #endif
   const i64 n_runs = n_tr / 2;
   struct ThreadCtx {
-    BucketPack packs[3];
+    std::vector<BucketPack> packs;  // [bucket * dp + owner]
     std::vector<i64> den_s, den_l, bd_s, bd_l;
   };
   std::vector<ThreadCtx> ctxs(n_threads);
+  for (auto& cx : ctxs) cx.packs.resize(3 * dp);
   const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
 
 #ifdef _OPENMP
@@ -780,52 +792,80 @@ int64_t lime_plan_pairs_packed(
         }
       }
 
+      // owners present among this cluster's read docs (first-seen
+      // order); dp == 1 -> the single owner 0
+      i64 own_list[256];
+      i64 own_nr[256];  // read rows owned per owner
+      i64 n_own = 0;
+      for (i64 t = 0; t < n_seen; t++) {
+        if (!seen_read[t]) continue;
+        const i64 o = seen_doc[t] / rows_local;
+        i64 rows_d = 0;
+        for (i64 j = 0; j < len; j++) rows_d += cl_doc[j] == seen_doc[t];
+        i64 k2 = 0;
+        while (k2 < n_own && own_list[k2] != o) k2++;
+        if (k2 == n_own) {
+          own_list[n_own] = o;
+          own_nr[n_own] = 0;
+          n_own++;
+        }
+        own_nr[k2] += rows_d;
+      }
+
       for (i64 gi = 0; gi < n_seen; gi++) {
         if (seen_read[gi]) continue;
         const uint32_t g = seen_doc[gi];
         i64 g_rows = 0;
         for (i64 j = 0; j < len; j++) g_rows += cl_doc[j] == g;
-        const i64 copy_len = nr + g_rows;
-        const int b = copy_len <= BUCKET_CAP[0] ? 0
-                      : copy_len <= BUCKET_CAP[1] ? 1 : 2;
-        BucketPack& bp = cx.packs[b];
-        if (copy_len > bp.window) bp.window = copy_len;
-        // close the chunk before this copy if it would overflow
-        if (bp.cur_rows + bp.grp_n + copy_len > chunk_pos) {
-          bp.flush_group(W);
-          while (bp.cur_rows < chunk_pos) {
-            bp.grp_n = 8;  // one full pad group
-            for (int j = 0; j < 8; j++) {
-              bp.grp_rows[j] = 0;
-              bp.grp_bits[j] = 0x10;
-            }
+        for (i64 oi = 0; oi < n_own; oi++) {
+          const i64 owner = own_list[oi];
+          const i64 copy_len = own_nr[oi] + g_rows;
+          const int b = copy_len <= BUCKET_CAP[0] ? 0
+                        : copy_len <= BUCKET_CAP[1] ? 1 : 2;
+          BucketPack& bp = cx.packs[b * dp + owner];
+          if (copy_len > bp.window) bp.window = copy_len;
+          // close the chunk before this copy if it would overflow
+          if (bp.cur_rows + bp.grp_n + copy_len > chunk_pos) {
             bp.flush_group(W);
+            while (bp.cur_rows < chunk_pos) {
+              bp.grp_n = 8;  // one full pad group
+              for (int j = 0; j < 8; j++) {
+                bp.grp_rows[j] = 0;
+                bp.grp_bits[j] = 0x10;
+              }
+              bp.flush_group(W);
+            }
+            bp.finish_chunk();
           }
-          bp.finish_chunk();
-        }
-        bp.gcol.push_back(static_cast<uint16_t>(g - nr_u32));
-        // read groups first, genome rows last: the device recovers copy
-        // boundaries as (read-side & m=0) rows, so a copy's first row
-        // MUST be read-side (pads carry side=1 and never fire the bit)
-        bool first_of_copy = true;
-        for (int pass = 0; pass < 2; pass++) {
-          for (i64 t = 0; t < n_seen; t++) {
-            const uint32_t d = seen_doc[t];
-            const bool is_read = seen_read[t];
-            if (pass == 0 ? !is_read : (is_read || d != g)) continue;
-            const uint8_t side = is_read ? 0 : 0x10;
-            bool first_of_doc = true;
-            for (i64 j = 0; j < len; j++) {
-              if (cl_doc[j] != d) continue;
-              uint8_t b5 = static_cast<uint8_t>(cl_sym[j] | side);
-              if (!first_of_copy) b5 |= 0x04;  // m
-              if (!first_of_doc) b5 |= 0x08;   // docrun
-              first_of_copy = false;
-              first_of_doc = false;
-              if (bp.grp_n == 8) bp.flush_group(W);
-              bp.grp_rows[bp.grp_n] = is_read ? d : 0;
-              bp.grp_bits[bp.grp_n] = b5;
-              bp.grp_n++;
+          bp.gcol.push_back(static_cast<uint16_t>(g - nr_u32));
+          // read groups first, genome rows last: the device recovers
+          // copy boundaries as (read-side & m=0) rows, so a copy's
+          // first row MUST be read-side (pads carry side=1 and never
+          // fire the bit)
+          bool first_of_copy = true;
+          for (int pass = 0; pass < 2; pass++) {
+            for (i64 t = 0; t < n_seen; t++) {
+              const uint32_t d = seen_doc[t];
+              const bool is_read = seen_read[t];
+              if (pass == 0
+                      ? (!is_read ||
+                         static_cast<i64>(d) / rows_local != owner)
+                      : (is_read || d != g))
+                continue;
+              const uint8_t side = is_read ? 0 : 0x10;
+              bool first_of_doc = true;
+              for (i64 j = 0; j < len; j++) {
+                if (cl_doc[j] != d) continue;
+                uint8_t b5 = static_cast<uint8_t>(cl_sym[j] | side);
+                if (!first_of_copy) b5 |= 0x04;  // m
+                if (!first_of_doc) b5 |= 0x08;   // docrun
+                first_of_copy = false;
+                first_of_doc = false;
+                if (bp.grp_n == 8) bp.flush_group(W);
+                bp.grp_rows[bp.grp_n] = is_read ? d : 0;
+                bp.grp_bits[bp.grp_n] = b5;
+                bp.grp_n++;
+              }
             }
           }
         }
@@ -835,7 +875,7 @@ int64_t lime_plan_pairs_packed(
     // final chunk per bucket: pad rows up to a power of two >= 65536, or
     // past 512K to the next 512K multiple (bounds both the pad waste and
     // the number of compiled shape variants)
-    for (int b = 0; b < 3; b++) {
+    for (i64 b = 0; b < 3 * dp; b++) {
       BucketPack& bp = cx.packs[b];
       bp.flush_group(W);
       if (bp.cur_rows) {
@@ -859,12 +899,13 @@ int64_t lime_plan_pairs_packed(
   i64 tw = 0, tb = 0, tg = 0, tc = 0, ndense = 0, nbad = 0;
   i64 windows[3] = {1, 1, 1};
   for (const ThreadCtx& cx : ctxs) {
-    for (int b = 0; b < 3; b++) {
-      tw += static_cast<i64>(cx.packs[b].rows.size());
-      tb += static_cast<i64>(cx.packs[b].bits.size());
-      tg += static_cast<i64>(cx.packs[b].gcol.size());
-      tc += static_cast<i64>(cx.packs[b].chunks.size());
-      if (cx.packs[b].window > windows[b]) windows[b] = cx.packs[b].window;
+    for (i64 p = 0; p < 3 * dp; p++) {
+      const int b = static_cast<int>(p / dp);
+      tw += static_cast<i64>(cx.packs[p].rows.size());
+      tb += static_cast<i64>(cx.packs[p].bits.size());
+      tg += static_cast<i64>(cx.packs[p].gcol.size());
+      tc += static_cast<i64>(cx.packs[p].chunks.size());
+      if (cx.packs[p].window > windows[b]) windows[b] = cx.packs[p].window;
     }
     ndense += static_cast<i64>(cx.den_s.size());
     nbad += static_cast<i64>(cx.bd_s.size());
@@ -882,20 +923,23 @@ int64_t lime_plan_pairs_packed(
     return 1;
   i64 ow = 0, ob = 0, og = 0, oc = 0, od = 0, ox = 0;
   for (ThreadCtx& cx : ctxs) {
-    for (int b = 0; b < 3; b++) {
-      BucketPack& bp = cx.packs[b];
+    for (i64 p = 0; p < 3 * dp; p++) {
+      const i64 b = p / dp;
+      const i64 owner = p % dp;
+      BucketPack& bp = cx.packs[p];
       std::memcpy(rows_out + ow, bp.rows.data(),
                   bp.rows.size() * sizeof(uint32_t));
       std::memcpy(bits_out + ob, bp.bits.data(), bp.bits.size());
       std::memcpy(gcol_out + og, bp.gcol.data(),
                   bp.gcol.size() * sizeof(uint16_t));
       for (const auto& c : bp.chunks) {
-        chunk_meta[oc * 6 + 0] = b;
-        chunk_meta[oc * 6 + 1] = c[0];
-        chunk_meta[oc * 6 + 2] = ow + c[1];
-        chunk_meta[oc * 6 + 3] = ob + c[2];
-        chunk_meta[oc * 6 + 4] = og + c[3];
-        chunk_meta[oc * 6 + 5] = c[4];
+        chunk_meta[oc * 7 + 0] = b;
+        chunk_meta[oc * 7 + 1] = owner;
+        chunk_meta[oc * 7 + 2] = c[0];
+        chunk_meta[oc * 7 + 3] = ow + c[1];
+        chunk_meta[oc * 7 + 4] = ob + c[2];
+        chunk_meta[oc * 7 + 5] = og + c[3];
+        chunk_meta[oc * 7 + 6] = c[4];
         oc++;
       }
       ow += static_cast<i64>(bp.rows.size());

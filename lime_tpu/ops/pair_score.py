@@ -239,7 +239,7 @@ def _gcol_padded(gcol_all: np.ndarray, chunks) -> np.ndarray:
     stays in bounds (entries past a chunk's own copies are never
     gathered — the copy-start cumsum cannot reach them)."""
     need = len(gcol_all)
-    for _, _, _, _, go, gc in chunks:
+    for _, _, _, _, _, go, gc in chunks:
         gcap = 4096
         while gcap < gc:
             gcap <<= 1
@@ -347,7 +347,7 @@ def pair_score_packed_from_device(stack: jax.Array, dev_arrays, chunks,
     """
     d_rows, d_bits, d_gcol = dev_arrays
     classes = {}
-    for bucket, n_rows, wo, bo, go, gc in chunks:
+    for bucket, _, n_rows, wo, bo, go, gc in chunks:
         gcap = 4096
         while gcap < gc:
             gcap <<= 1
@@ -380,7 +380,7 @@ def pair_score_packed_into(sim: jax.Array, arrays, chunks, windows,
     d_rows, d_bits, d_gcol = pair_upload(arrays, chunks)
     drop = jnp.int32(num_reads * g_pad)
     wpg = row_bits // 4  # words per 8-row group
-    for bucket, n_rows, wo, bo, go, gc in chunks:
+    for bucket, _, n_rows, wo, bo, go, gc in chunks:
         gcap = 4096
         while gcap < gc:
             gcap <<= 1

@@ -90,7 +90,8 @@ def extend_range_to_cluster_boundaries(lcp: np.ndarray, lo: int, hi: int,
 def plan_host_range_pairs(fasta_path: str, num_reads: int,
                           num_genomes: int, alpha: int, num_hosts: int,
                           host_idx: int, use_ebwt: bool = True,
-                          dense_min: int = 16):
+                          dense_min: int = 16, dp: int = 1,
+                          rows_local: int = 0):
     """Packed pair-stream plan of this host's range of a collection.
 
     The pair-engine counterpart of :func:`plan_host_range`: only this
@@ -124,7 +125,7 @@ def plan_host_range_pairs(fasta_path: str, num_reads: int,
      bad_l) = native.plan_pairs_packed(
         lcp_s, da_s, eb_s, num_reads, alpha, SYMBOL_RANK_LUT,
         _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
-        num_refs=num_genomes)
+        num_refs=num_genomes, dp=dp, rows_local=rows_local)
     return (arrays, chunks, windows, W, den_s + lo, den_l, bad_s + lo,
             bad_l)
 

@@ -801,35 +801,76 @@ def _run_sharded_multiprocess(collections, output_path: str,
     return res
 
 
+def pair_rows_local(num_reads: int, dp: int) -> int:
+    """Read rows owned per dp shard (cascade-block aligned).
+
+    Shared by the planner call sites and the SPMD step so the plan-time
+    ownership split and the device row slicing can never diverge.
+    """
+    from ..ops.classify_tpu import classify_block_size
+
+    block = classify_block_size(-(-(num_reads + 1) // dp))
+    return -(-(num_reads + 1) // (dp * block)) * block
+
+
+def pair_comm_model(mesh, num_files: int, num_reads: int, num_refs: int,
+                    wide_sim: bool = False) -> dict:
+    """Per-device collective volume of one dp-sliced pair SPMD step.
+
+    The only collective is the sp-psum of the LOCAL (F, rows_local,
+    g_pad) block — the term scales with rows_local = ceil(R / dp), not
+    with the full read count (round 3's engine psum'd full (F, r_pad,
+    g_pad) partials per device, the term that killed the scaling model).
+    Bytes follow the bidirectional-ring estimate 2 * (sp-1)/sp * bytes.
+    """
+    sp, dp = mesh.shape["sp"], mesh.shape["dp"]
+    g_pad = max(128, -(-num_refs // 128) * 128)
+    rows_local = pair_rows_local(num_reads, dp)
+    cell = 4 if wide_sim else 1
+    block_bytes = num_files * rows_local * g_pad * cell
+    return {
+        "mesh": (sp, dp),
+        "rows_local": rows_local,
+        "per_device_hbm_bytes": block_bytes,
+        "psum_axis": "sp",
+        "psum_bytes_per_device": int(2 * (sp - 1) / sp * block_bytes)
+        if sp > 1 else 0,
+        "dp_collective_bytes": 0,  # ownership split at plan time
+    }
+
+
 def make_pair_sharded_pipeline(mesh, num_files: int, num_reads: int,
                                num_refs: int, read_len: int, alpha: int,
                                beta: float, tax_rank: int,
                                assign_higher: bool, row_bits: int,
                                n_chunks: int, wide_sim: bool = False,
                                max_corr: int = 0):
-    """SPMD pair-stream pipeline: chunk-parallel scoring, no halos.
+    """dp-sliced SPMD pair-stream pipeline: chunk-parallel, no halos.
 
     The packed pair planner emits copy-aligned chunks (a cluster copy
-    never straddles a chunk), so the SPMD decomposition is simply
-    "chunks round-robined over devices" — the banded path's ppermute
-    halo exchange is unnecessary by construction; the straddle protocol
-    lives entirely in the host-range planning.  Each device scans its
-    chunks accumulating a partial (F, r_pad, G_pad) int8 matrix (wrap =
-    the reference's uchar counters), then psum_scatter over dp hands
-    every dp group its read-row block, psum over sp merges chunk shards,
-    and the blockwise cascade runs on local rows.
+    never straddles a chunk) ALREADY SPLIT by read-row ownership
+    (plan_pairs_packed dp/rows_local): a copy is re-emitted per dp
+    shard owning at least one of its read docs, with only that shard's
+    read rows plus the genome rows — occurrence matching is
+    per-document, so sub-copy scores are exact.  Shard (sp_i, dp_j)
+    receives only owner-j chunks and accumulates a LOCAL
+    (F, rows_local, g_pad) block (int8 wrap = the reference's uchar
+    counters); the ONLY collective is a psum over sp of that block, so
+    both per-device HBM and comm volume scale with rows_local =
+    ceil(R / dp) — this is how matrices beyond one chip's HBM (the
+    reference's 18.8 GB SimArray at setB2 scale,
+    src/ClusterBWT_DA.cpp:606-611) run on a mesh.
 
     Inputs to the returned ``step``: uniform (n_chunks, ...) arrays —
     ``rows_w`` u32, ``bits`` u8, ``gcol`` u16 (each chunk's gcol padded
     to ``gcap``), ``cfile`` i32 (collection of each chunk; >= num_files
     marks a pad chunk), ``cwin`` i32 per-chunk window — sharded
-    P(("sp", "dp")) on the chunk axis — plus the COO corrections and
-    classify constants of the banded step.  Note: each device holds a
-    full (F, r_pad, G_pad) partial; matrices beyond HBM need the
-    row-blocked single-chip mode or a dp-sliced variant (future work).
+    P(("sp", "dp")) on the chunk axis with owner-j chunks in dp-slot j
+    — plus the COO corrections and classify constants.
     """
     from ..ops.classify_tpu import blockwise_cascade, classify_block_size
-    from ..ops.pair_score import _pair_hits_core, _unpack_bits5, _unpack_rows
+    from ..ops.pair_score import _hits_dispatch, _unpack_bits5, \
+        _unpack_rows
 
     sp = mesh.shape["sp"]
     dp = mesh.shape["dp"]
@@ -838,15 +879,15 @@ def make_pair_sharded_pipeline(mesh, num_files: int, num_reads: int,
         raise ValueError("n_chunks must be padded to the shard count")
     g_pad = max(128, -(-num_refs // 128) * 128)
     block = classify_block_size(-(-(num_reads + 1) // dp))
-    rows_local = -(-(num_reads + 1) // (dp * block)) * block
-    r_pad = rows_local * dp
+    rows_local = pair_rows_local(num_reads, dp)
     acc_dtype = jnp.int32 if wide_sim else jnp.int8
     beta_f = jnp.float32(beta)
-    drop = jnp.int32(num_reads * g_pad)
+    drop = jnp.int32(rows_local * g_pad)  # out of range -> mode="drop"
 
     def shard_fn(rows_w, bits_b, gcol, cfile, cwin, crows, ccols, cvals,
                  corr_file, tax, rank_matrix, valid_t, error, norm):
         dp_i = lax.axis_index("dp")
+        row_base = dp_i * rows_local
 
         def chunk_body(partial, inp):
             rw, bb, gc, fidx, win = inp
@@ -856,28 +897,30 @@ def make_pair_sharded_pipeline(mesh, num_files: int, num_reads: int,
             m = ((bits >> 2) & 1).astype(bool)
             dr = ((bits >> 3) & 1).astype(bool)
             gs = ((bits >> 4) & 1).astype(bool)
-            hits = _pair_hits_core(m, dr, gs, sym, win)
+            hits = _hits_dispatch(bits, m, dr, gs, sym, win)
             copy_start = ((~m) & (~gs)).astype(jnp.int32)
             cidx = jnp.cumsum(copy_start) - 1
             gcol_v = gc[jnp.clip(cidx, 0, gc.shape[0] - 1)].astype(
                 jnp.int32)
-            flat = jnp.where(gs, drop, row * g_pad + gcol_v)
+            local = row - row_base
+            ok = (~gs) & (local >= 0) & (local < rows_local)
+            flat = jnp.where(ok, local * g_pad + gcol_v, drop)
             f_safe = jnp.minimum(fidx, num_files)  # pad chunks -> drop
             partial = partial.reshape(num_files + 1, -1).at[
                 jnp.full_like(flat, f_safe), flat].add(
                 hits.astype(acc_dtype), mode="drop")
-            return partial.reshape(num_files + 1, r_pad, g_pad), 0
+            return partial.reshape(num_files + 1, rows_local, g_pad), 0
 
-        partial = jnp.zeros((num_files + 1, r_pad, g_pad), acc_dtype)
+        partial = jnp.zeros((num_files + 1, rows_local, g_pad),
+                            acc_dtype)
         partial, _ = lax.scan(chunk_body, partial,
                               (rows_w, bits_b, gcol, cfile, cwin))
         partial = partial[:num_files]
 
-        # Row-shard over dp, then merge chunk shards over sp.  int8
-        # partial sums wrap mod 256 = the reference's uchar SimArray.
-        sims = lax.psum_scatter(partial, "dp", scatter_dimension=1,
-                                tiled=True)
-        sims = lax.psum(sims, "sp")
+        # The ONLY collective: merge sp chunk-shards of the local row
+        # block.  int8 partial sums wrap mod 256 = the reference's
+        # uchar SimArray.
+        sims = lax.psum(partial, "sp")
 
         if max_corr:
             local_r = crows - dp_i * rows_local
@@ -956,17 +999,19 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
     if F not in (2, 4):
         raise ValueError("sharded run takes 2 or 4 collections")
     lineage = read_lineage(lineage_path)
-    n_shards = mesh.shape["sp"] * mesh.shape["dp"]
+    sp, dp = mesh.shape["sp"], mesh.shape["dp"]
+    n_shards = sp * dp
     g_pad = max(128, -(-num_genomes // 128) * 128)
-    if (num_reads + 1) * g_pad > 2**31 - 1:
-        raise ValueError("num_reads * g_pad exceeds the int32 scatter "
-                         "range; shard reads across hosts or use the "
-                         "banded engine")
+    rows_local = pair_rows_local(num_reads, dp)
+    if (rows_local + 1) * g_pad > 2**31 - 1:
+        raise ValueError("rows_local * g_pad exceeds the int32 scatter "
+                         "range; raise dp")
     W = native.row_bits_for(num_reads)
     dense_min = (16 if config.mxu_dense_min is None
                  else config.mxu_dense_min)
 
-    all_chunks = []  # (file, window, rows_view, bits_view, gcol_view)
+    # per-owner chunk lists: (file, window, rows_view, bits_view, gcol)
+    own_chunks = [[] for _ in range(dp)]
     corr = []
     for fi, fasta in enumerate(collections):
         lcp = open_lcp(fasta, mmap=True)
@@ -976,15 +1021,15 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
          bad_l) = native.plan_pairs_packed(
             lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
             _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
-            num_refs=num_genomes)
+            num_refs=num_genomes, dp=dp, rows_local=rows_local)
         assert w_f == W
         if len(den_s):  # genome-dense clusters: exact host COO here
             bad_s = np.concatenate([bad_s, den_s])
             bad_l = np.concatenate([bad_l, den_l])
         rows_all, bits_all, gcol_all = arrays
         wpg = W // 4
-        for b, n_rows, wo, bo, go, gc in chunks:
-            all_chunks.append(
+        for b, owner, n_rows, wo, bo, go, gc in chunks:
+            own_chunks[owner].append(
                 (fi, windows[b],
                  rows_all[wo:wo + n_rows // 8 * wpg],
                  bits_all[bo:bo + n_rows // 8 * 5],
@@ -995,26 +1040,32 @@ def run_sharded_pairs(collections, output_path: str, num_reads: int,
             if len(rows):
                 corr.append((fi, rows, cols, vals))
 
-    # uniform chunk arrays, padded to the shard count
-    cw = max((len(r) for _, _, r, _, _ in all_chunks), default=8)
+    # uniform chunk arrays; shard (sp_i, dp_j) gets cell b = sp_i*dp+dp_j
+    # of the chunk axis, so owner-j chunks round-robin over the sp cells
+    # of dp column j (padded to a common per-cell count)
+    flat_iter = [c for oc in own_chunks for c in oc]
+    cw = max((len(r) for _, _, r, _, _ in flat_iter), default=8)
     cb = cw // (W // 4) * 5
     gcap = 4096
-    for _, _, _, _, g in all_chunks:
+    for _, _, _, _, g in flat_iter:
         while gcap < len(g):
             gcap <<= 1
-    n_ch = max(n_shards, -(-len(all_chunks) // n_shards) * n_shards)
+    n_cell = max(1, max(-(-len(oc) // sp) for oc in own_chunks))
+    n_ch = n_cell * n_shards
     rows_w = np.zeros((n_ch, cw), np.uint32)
     bits_b = np.tile(_PAD_GROUP_BITS, (n_ch, cb // 5))
     gcol = np.zeros((n_ch, gcap), np.uint16)
     cfile = np.full(n_ch, F, np.int32)
     cwin = np.ones(n_ch, np.int32)
-    for i, (fi, win, r, b, g) in enumerate(all_chunks):
-        rows_w[i, :len(r)] = r
-        nb5 = len(b)
-        bits_b[i, :nb5] = b
-        gcol[i, :len(g)] = g
-        cfile[i] = fi
-        cwin[i] = win
+    for owner, oc in enumerate(own_chunks):
+        for k, (fi, win, r, b, g) in enumerate(oc):
+            sp_i, slot = k % sp, k // sp
+            i = (sp_i * dp + owner) * n_cell + slot
+            rows_w[i, :len(r)] = r
+            bits_b[i, :len(b)] = b
+            gcol[i, :len(g)] = g
+            cfile[i] = fi
+            cwin[i] = win
 
     if corr:
         cfile_c = np.concatenate(
@@ -1097,26 +1148,34 @@ def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
         raise ValueError("device count must divide evenly across "
                          "processes")
     local_shards = n_shards // nproc
+    sp, dp = mesh.shape["sp"], mesh.shape["dp"]
+    if local_shards % dp:
+        raise ValueError(
+            "dp-sliced pair engine needs each process's device block to "
+            "cover whole dp groups (local_shards % dp == 0); reshape the "
+            "mesh or the process count")
     g_pad = max(128, -(-num_genomes // 128) * 128)
-    if (num_reads + 1) * g_pad > 2**31 - 1:
-        raise ValueError("num_reads * g_pad exceeds the int32 scatter "
-                         "range")
+    rows_local = pair_rows_local(num_reads, dp)
+    if (rows_local + 1) * g_pad > 2**31 - 1:
+        raise ValueError("rows_local * g_pad exceeds the int32 scatter "
+                         "range; raise dp")
     W = native.row_bits_for(num_reads)
     dense_min = (16 if config.mxu_dense_min is None
                  else config.mxu_dense_min)
 
-    local_chunks = []  # (fi, window, rows_view, bits_view, gcol_view)
+    own_chunks = [[] for _ in range(dp)]  # (fi, win, rows, bits, gcol)
     corr_local = []
     for fi, fasta in enumerate(collections):
         (arrays, chunks, windows, w_f, den_s, den_l, bad_s,
          bad_l) = plan_host_range_pairs(
             fasta, num_reads, num_genomes, config.alpha, nproc, pid,
-            use_ebwt=config.use_ebwt, dense_min=dense_min)
+            use_ebwt=config.use_ebwt, dense_min=dense_min,
+            dp=dp, rows_local=rows_local)
         assert w_f == W
         rows_all, bits_all, gcol_all = arrays
         wpg = W // 4
-        for b, n_rows, wo, bo, go, gc in chunks:
-            local_chunks.append(
+        for b, owner, n_rows, wo, bo, go, gc in chunks:
+            own_chunks[owner].append(
                 (fi, windows[b],
                  rows_all[wo:wo + n_rows // 8 * wpg],
                  bits_all[bo:bo + n_rows // 8 * 5],
@@ -1134,30 +1193,43 @@ def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
                 corr_local.append((np.full(len(rows), fi, np.int32),
                                    rows, cols, vals))
 
-    # agree on uniform chunk shapes + per-host chunk counts
-    cw_loc = max((len(r) for _, _, r, _, _ in local_chunks), default=8)
+    # agree on uniform chunk shapes + the per-cell chunk count
+    flat_iter = [c for oc in own_chunks for c in oc]
+    cw_loc = max((len(r) for _, _, r, _, _ in flat_iter), default=8)
     gcap_loc = 4096
-    for _, _, _, _, g in local_chunks:
+    for _, _, _, _, g in flat_iter:
         while gcap_loc < len(g):
             gcap_loc <<= 1
+    local_sp = local_shards // dp  # sp cells this process owns per owner
+    cell_loc = max(-(-len(oc) // local_sp) for oc in own_chunks)
     dims = np.asarray(multihost_utils.process_allgather(np.array(
-        [cw_loc, gcap_loc, len(local_chunks)], np.int64)))
+        [cw_loc, gcap_loc, cell_loc], np.int64)))
     cw = int(dims[:, 0].max())
     gcap = int(dims[:, 1].max())
-    n_loc = -(-int(dims[:, 2].max()) // local_shards) * local_shards
+    n_cell = max(1, int(dims[:, 2].max()))
+    n_loc = n_cell * local_shards
     cb = cw // (W // 4) * 5
 
+    # this process's contiguous slice of the global chunk axis covers
+    # cells [pid*local_shards, (pid+1)*local_shards); cell c has dp
+    # coordinate c % dp, so owner-j chunks go to local cells with
+    # dp coordinate j (round-robin over this process's sp cells)
     rows_w = np.zeros((n_loc, cw), np.uint32)
     bits_b = np.tile(_PAD_GROUP_BITS, (n_loc, cb // 5))
     gcol = np.zeros((n_loc, gcap), np.uint16)
     cfile = np.full(n_loc, F, np.int32)
     cwin = np.ones(n_loc, np.int32)
-    for i, (fi, win, r, b, g) in enumerate(local_chunks):
-        rows_w[i, :len(r)] = r
-        bits_b[i, :len(b)] = b
-        gcol[i, :len(g)] = g
-        cfile[i] = fi
-        cwin[i] = win
+    cell0 = pid * local_shards
+    for owner, oc in enumerate(own_chunks):
+        cells = [c - cell0 for c in range(cell0, cell0 + local_shards)
+                 if c % dp == owner]
+        for k, (fi, win, r, b, g) in enumerate(oc):
+            i = cells[k % len(cells)] * n_cell + k // len(cells)
+            rows_w[i, :len(r)] = r
+            bits_b[i, :len(b)] = b
+            gcol[i, :len(g)] = g
+            cfile[i] = fi
+            cwin[i] = win
 
     if corr_local:
         lf = np.concatenate([c[0] for c in corr_local])

@@ -86,7 +86,7 @@ def test_planner_host_num_partition():
     def plan(hn):
         (_, chunks, _, _, ds, dl, bs, bl) = native.plan_pairs_packed(
             lcp, da, eb, 100, 16, SYMBOL_RANK_LUT, deg, host_num=hn)
-        return int(dl.sum()), int(bl.sum()), sum(c[1] for c in chunks)
+        return int(dl.sum()), int(bl.sum()), sum(c[2] for c in chunks)
 
     d0, b0, s0 = plan(0)
     d1, b1, s1 = plan(128)

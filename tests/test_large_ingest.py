@@ -71,6 +71,6 @@ def test_billion_position_plan(tmp_path):
                 np.ascontiguousarray(da[lo:hi]), None, NUM_READS, 16,
                 SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8))
         assert W == 28  # 50M reads -> the widest packed row format
-        total_rows += sum(c[1] for c in chunks)
+        total_rows += sum(c[2] for c in chunks)
         del arrays, chunks
     assert total_rows > 0
