@@ -41,6 +41,8 @@ def _config_from(args) -> LimeConfig:
         threads=getattr(args, "threads", 1),
         fused=getattr(args, "fused", False),
         dense_threshold=getattr(args, "dense_threshold", None),
+        mxu_dense_min=getattr(args, "mxu_dense_min", None),
+        host_frac=getattr(args, "host_frac", None),
     )
 
 
@@ -114,9 +116,26 @@ def main(argv=None) -> int:
         p.add_argument("--dense-threshold", type=int, default=None,
                        help="genome-position density for TPU routing "
                             "(default: auto)")
+        p.add_argument("--mxu-dense-min", type=int, default=None,
+                       help="genome-position threshold for the MXU "
+                            "histogram-matmul path (default: auto)")
+        p.add_argument("--host-frac", type=float, default=None,
+                       help="hybrid split: fraction of clusters scored "
+                            "by the host SIMD engine (default: auto "
+                            "from measured link bandwidth)")
+        p.add_argument("--hbm-budget", type=int, default=None,
+                       help="HBM budget in bytes for the similarity "
+                            "stack; smaller budgets force the "
+                            "row-blocked beyond-HBM mode")
         if name == "run-sharded":
             p.add_argument("--devices", type=int, default=None,
                            help="mesh size (default: all visible devices)")
+            p.add_argument("--engine", choices=["pair", "banded"],
+                           default="pair",
+                           help="SPMD engine: dp-sliced pair streams "
+                                "(default) or the banded one-hot kernel")
+            p.add_argument("--mesh", default=None, metavar="SPxDP",
+                           help="explicit mesh shape, e.g. 2x4")
         _add_common(p, scoring=True, classify=True)
 
     p = sub.add_parser("preprocess",
@@ -148,6 +167,12 @@ def main(argv=None) -> int:
 
 
 def _dispatch(args) -> int:
+    if getattr(args, "hbm_budget", None) is not None:
+        # smaller budgets force the row-blocked beyond-HBM mode
+        import os
+
+        os.environ["LIME_HBM_BUDGET"] = str(args.hbm_budget)
+
     if args.cmd == "cluster-lcp":
         from .pipeline import cluster_lcp
         cfg = _config_from(args).replace(alpha=args.alpha)
@@ -197,18 +222,28 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "run-sharded":
-        from collections import Counter
-
+        from . import native
         from .parallel import make_mesh, run_sharded
         from .parallel.multihost import init_distributed
+        from .parallel.sharded import run_sharded_pairs
 
         init_distributed()
         cfg = _config_from(args).replace(
             alpha=args.alpha, beta=args.beta, tax_rank=args.tax_rank)
-        mesh = make_mesh(args.devices)
-        res = run_sharded(args.collections, args.output, args.num_reads,
-                          args.num_genomes, args.lineage, args.read_len,
-                          cfg, mesh=mesh)
+        shape = None
+        if args.mesh:
+            sp_s, dp_s = args.mesh.lower().split("x")
+            shape = (int(sp_s), int(dp_s))
+            mesh = make_mesh(shape[0] * shape[1], shape=shape)
+        else:
+            mesh = make_mesh(args.devices)
+        engine = args.engine
+        if engine == "pair" and not native.available():
+            engine = "banded"  # pair planning needs the native runtime
+        runner = run_sharded_pairs if engine == "pair" else run_sharded
+        res = runner(args.collections, args.output, args.num_reads,
+                     args.num_genomes, args.lineage, args.read_len,
+                     cfg, mesh=mesh)
         c = res.counts()
         print(f"mesh {dict(mesh.shape)}: C={c['C']} H={c['H']} "
               f"A={c['A']} U={c['U']} / {args.num_reads}")

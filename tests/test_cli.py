@@ -82,3 +82,56 @@ def test_create_docs_and_gesa(tmp_path, capsys):
     assert main(["gesa-convert", fasta, "3"]) == 0
     eb = np.fromfile(fasta + ".ebwt", dtype=np.uint8)
     assert list(eb) == [65, 36, 67]
+
+
+def test_cli_sharded_pair_engine(dataset, tmp_path):
+    """run-sharded drives the dp-sliced pair SPMD engine by default,
+    with explicit --mesh and --engine selection; both engines match the
+    host pipeline byte for byte."""
+    from lime_tpu import native
+
+    if not native.available():
+        pytest.skip("native planner needed")
+    host_csv = str(tmp_path / "host.csv")
+    assert main(["run-paired", *dataset.collections, host_csv,
+                 str(dataset.num_reads), str(dataset.num_genomes),
+                 dataset.lineage_path, str(dataset.read_len),
+                 "--executor", "host"]) == 0
+    want = open(host_csv).read()
+    for extra, tag in ((["--mesh", "2x4"], "pair_2x4"),
+                       (["--engine", "banded", "--mesh", "4x2"],
+                        "banded_4x2")):
+        out = str(tmp_path / f"{tag}.csv")
+        assert main(["run-sharded", *dataset.collections, out,
+                     str(dataset.num_reads), str(dataset.num_genomes),
+                     dataset.lineage_path, str(dataset.read_len),
+                     *extra]) == 0
+        assert open(out).read() == want, tag
+
+
+def test_cli_hybrid_and_hbm_knobs(dataset, tmp_path):
+    """--host-frac and --hbm-budget reach the fused engine."""
+    from lime_tpu import native
+
+    if not native.available():
+        pytest.skip("native planner needed")
+    host_csv = str(tmp_path / "host.csv")
+    assert main(["run-paired", *dataset.collections, host_csv,
+                 str(dataset.num_reads), str(dataset.num_genomes),
+                 dataset.lineage_path, str(dataset.read_len),
+                 "--executor", "host"]) == 0
+    out = str(tmp_path / "hybrid.csv")
+    assert main(["run-paired", *dataset.collections, out,
+                 str(dataset.num_reads), str(dataset.num_genomes),
+                 dataset.lineage_path, str(dataset.read_len),
+                 "--fused", "--host-frac", "1.0"]) == 0
+    assert open(out).read() == open(host_csv).read()
+    out2 = str(tmp_path / "blocked.csv")
+    try:
+        assert main(["run-paired", *dataset.collections, out2,
+                     str(dataset.num_reads), str(dataset.num_genomes),
+                     dataset.lineage_path, str(dataset.read_len),
+                     "--fused", "--hbm-budget", "1"]) == 0
+    finally:
+        os.environ.pop("LIME_HBM_BUDGET", None)
+    assert open(out2).read() == open(host_csv).read()
