@@ -126,10 +126,11 @@ def _check_build_memory(total_positions: int, engine: str) -> None:
         raise MemoryError(
             f"in-process index build needs ~{need / 1e9:.1f} GB "
             f"({total_positions / 1e6:.0f}M positions x ~{per_pos} B) but "
-            f"only {avail / 1e9:.1f} GB RAM is available.  Build the index "
-            "with external-memory tools (eGap --em, as the reference's "
-            "Preprocessing.sh does) and ingest it with "
-            "`lime-tpu gesa-convert`, or index on a larger host.")
+            f"only {avail / 1e9:.1f} GB RAM is available.  Use the "
+            "blockwise external builder "
+            "(lime_tpu.index.external.build_index_files_external — the "
+            "preprocess driver falls back to it automatically), or "
+            "ingest an eGap-built index via `lime-tpu gesa-convert`.")
 
 
 def build_index(seqs: Sequence[bytes], engine: str = "numpy"

@@ -105,6 +105,22 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.lime_build_index_block.restype = ctypes.c_int64
+            lib.lime_build_index_block.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.lime_merge_blocks.restype = ctypes.c_int64
+            lib.lime_merge_blocks.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.lime_kasai_files.restype = ctypes.c_int64
+            lib.lime_kasai_files.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_int64,
+            ]
             lib.lime_coo_compact.restype = ctypes.c_int64
             lib.lime_coo_compact.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,

@@ -1568,4 +1568,331 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Beyond-RAM index construction (the reference outsources this regime to
+// eGap's external-memory merge, Preprocessing.sh:159-196 --em -m 4096).
+// Three pieces: per-block in-RAM SA-IS builds (lime_build_index_block),
+// a Holt/McMillan-style interleave-refinement merge of the block eBWTs
+// on disk (lime_merge_blocks), and a file-backed Kasai LCP pass
+// (lime_kasai_files).  Blocks partition the DOCUMENTS contiguously, so
+// cross-block suffix ties resolve by block order (stability) exactly as
+// the in-RAM builder's ascending terminator ranks do — the merged
+// index is bit-identical to a whole-collection in-RAM build.
+// ---------------------------------------------------------------------------
+
+// Per-block build: ebwt/da/sa only (no LCP — the merged LCP is computed
+// once, after the merge).  sa_out holds LOCAL text offsets (the block's
+// docs concatenated with one terminator slot each, sentinel excluded).
+int64_t lime_build_index_block(const uint8_t* concat,
+                               const int64_t* seq_lens, int64_t num_seqs,
+                               uint8_t* ebwt, uint32_t* da,
+                               uint32_t* sa_out) {
+  if (num_seqs <= 0) return -1;
+  i64 total = 0;
+  for (i64 i = 0; i < num_seqs; i++) total += seq_lens[i] + 1;
+  const i64 n = total + 1;
+  const i64 K = 1 + num_seqs + 256;
+  std::vector<i64> s(n);
+  std::vector<i64> doc_of(n);
+  std::vector<bool> seq_start(n, false);
+  {
+    i64 w = 0, r = 0;
+    for (i64 d = 0; d < num_seqs; d++) {
+      seq_start[w] = true;
+      for (i64 k = 0; k < seq_lens[d]; k++, w++, r++) {
+        s[w] = 1 + num_seqs + concat[r];
+        doc_of[w] = d;
+      }
+      s[w] = 1 + d;
+      doc_of[w] = d;
+      w++;
+    }
+    s[w] = 0;
+    doc_of[w] = num_seqs - 1;
+  }
+  std::vector<i64> sa(n);
+  sais(s.data(), sa.data(), n, K);
+  for (i64 x = 0; x < total; x++) {
+    const i64 p = sa[x + 1];
+    sa_out[x] = static_cast<uint32_t>(p);
+    da[x] = static_cast<uint32_t>(doc_of[p]);
+    if (seq_start[p]) {
+      ebwt[x] = '$';
+    } else {
+      const i64 v = s[p - 1];
+      ebwt[x] = (v >= 1 + num_seqs)
+                    ? static_cast<uint8_t>(v - 1 - num_seqs)
+                    : '$';
+    }
+  }
+  return 0;
+}
+
+namespace {
+
+bool write_all(const char* path, const void* data, i64 bytes) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  const bool ok =
+      std::fwrite(data, 1, static_cast<size_t>(bytes), f) ==
+      static_cast<size_t>(bytes);
+  std::fclose(f);
+  return ok;
+}
+
+}  // namespace
+
+// Merge n_blocks block indexes into the whole-collection index.
+//
+//   prefix        — block files live at <prefix>.blk<k>.{ebwt,da,sa}
+//   block_rows    — rows (positions) per block
+//   block_doc_base/block_text_base — global doc id / text offset of each
+//                   block's first document (blocks partition documents
+//                   contiguously and in order)
+//   out_prefix    — writes <out_prefix>.{ebwt,da,sa} (sa = GLOBAL text
+//                   offsets, u32 — input to lime_kasai_files)
+//
+// The interleave (one block-color byte per merged row) refines on disk:
+// pass k sorts rows by their first k suffix characters via one stable
+// LF-style bucket distribution per pass.  Rows starting with a
+// terminator occupy the fixed first region in block order (their
+// mutual order is the global document order by construction), so
+// '$'-bucket entries are not rescanned — the classic multi-string
+// terminator fix.  Iterates to a fixed point; cross-block ties break
+// at the shorter side's terminator, so the pass count is bounded by
+// the longest cross-block common prefix + 2 (reads across blocks:
+// ~read_len; keep genomes within one block).
+//
+// Returns the number of passes, or negative on error.
+int64_t lime_merge_blocks(const char* prefix, int64_t n_blocks,
+                          const int64_t* block_rows,
+                          const int64_t* block_doc_base,
+                          const int64_t* block_text_base,
+                          const int64_t* block_nseqs,
+                          const char* out_prefix, int64_t max_passes) {
+  if (n_blocks < 1 || n_blocks > 250) return -1;
+  if (max_passes < 2) max_passes = 1024;
+  i64 total = 0, nseq_total = 0;
+  for (i64 b = 0; b < n_blocks; b++) {
+    total += block_rows[b];
+    nseq_total += block_nseqs[b];
+  }
+  char path[4096];
+
+  // block eBWTs stay in RAM only as buffered streams; the interleave
+  // ping-pongs between two files
+  std::vector<FILE*> feb(n_blocks, nullptr);
+  for (i64 b = 0; b < n_blocks; b++) {
+    std::snprintf(path, sizeof(path), "%s.blk%lld.ebwt", prefix,
+                  static_cast<long long>(b));
+    feb[b] = std::fopen(path, "rb");
+    if (!feb[b]) return -2;
+  }
+
+  // merged symbol histogram -> bucket bases ('$' = 0x24 sorts below
+  // every nucleotide byte, matching the integer-alphabet order of the
+  // in-RAM builder: terminators < 1+num_seqs <= any sequence byte)
+  i64 counts[256] = {0};
+  {
+    std::vector<uint8_t> buf(1 << 20);
+    for (i64 b = 0; b < n_blocks; b++) {
+      size_t got;
+      while ((got = std::fread(buf.data(), 1, buf.size(), feb[b])) > 0)
+        for (size_t i = 0; i < got; i++) counts[buf[i]]++;
+      std::rewind(feb[b]);
+    }
+  }
+  if (counts['$'] != nseq_total) return -3;
+  i64 base[256];
+  {
+    i64 acc = 0;
+    for (int c = 0; c < 256; c++) {
+      base[c] = acc;
+      acc += counts[c];
+    }
+  }
+
+  std::vector<uint8_t> cur(total);
+  std::vector<uint8_t> nxt(total);
+  {
+    i64 w = 0;
+    for (i64 b = 0; b < n_blocks; b++)
+      for (i64 i = 0; i < block_rows[b]; i++)
+        cur[w++] = static_cast<uint8_t>(b);
+  }
+  // NB: cur/nxt are the only O(total) RAM of the merge (2 bytes/row);
+  // a stricter budget could stream them from il0/il1 — at the tested
+  // 4 GB cap and 10^8 rows the in-RAM ping-pong (200 MB) is fine.
+
+  std::vector<std::vector<uint8_t>> ebuf(n_blocks);
+  std::vector<size_t> epos(n_blocks, 0), elen(n_blocks, 0);
+  const size_t EBUF = 1 << 20;
+  for (i64 b = 0; b < n_blocks; b++) ebuf[b].resize(EBUF);
+
+  i64 pass = 0;
+  bool converged = false;
+  for (; pass < max_passes && !converged; pass++) {
+    // fixed terminator region
+    i64 w = 0;
+    for (i64 b = 0; b < n_blocks; b++)
+      for (i64 i = 0; i < block_nseqs[b]; i++)
+        nxt[w++] = static_cast<uint8_t>(b);
+    i64 cursor[256];
+    std::memcpy(cursor, base, sizeof(cursor));
+    cursor['$'] = -1;  // never written through the scan
+    for (i64 b = 0; b < n_blocks; b++) {
+      std::rewind(feb[b]);
+      epos[b] = elen[b] = 0;
+    }
+    bool changed = false;
+    for (i64 i = 0; i < total; i++) {
+      const uint8_t c = cur[i];
+      if (epos[c] == elen[c]) {
+        elen[c] = std::fread(ebuf[c].data(), 1, EBUF, feb[c]);
+        epos[c] = 0;
+        if (elen[c] == 0) return -4;
+      }
+      const uint8_t sym = ebuf[c][epos[c]++];
+      if (sym == '$') continue;  // fixed region
+      const i64 slot = cursor[sym]++;
+      nxt[slot] = c;
+    }
+    for (i64 i = 0; i < total; i++) {
+      if (nxt[i] != cur[i]) {
+        changed = true;
+        break;
+      }
+    }
+    cur.swap(nxt);
+    converged = !changed;
+  }
+  if (!converged) return -8;
+
+  // final outputs: stream block da/sa files through the interleave
+  {
+    std::vector<FILE*> fda(n_blocks), fsa(n_blocks);
+    for (i64 b = 0; b < n_blocks; b++) {
+      std::snprintf(path, sizeof(path), "%s.blk%lld.da", prefix,
+                    static_cast<long long>(b));
+      fda[b] = std::fopen(path, "rb");
+      std::snprintf(path, sizeof(path), "%s.blk%lld.sa", prefix,
+                    static_cast<long long>(b));
+      fsa[b] = std::fopen(path, "rb");
+      std::rewind(feb[b]);
+      epos[b] = elen[b] = 0;
+      if (!fda[b] || !fsa[b]) return -5;
+    }
+    std::snprintf(path, sizeof(path), "%s.ebwt", out_prefix);
+    FILE* oeb = std::fopen(path, "wb");
+    std::snprintf(path, sizeof(path), "%s.da", out_prefix);
+    FILE* oda = std::fopen(path, "wb");
+    std::snprintf(path, sizeof(path), "%s.sa", out_prefix);
+    FILE* osa = std::fopen(path, "wb");
+    if (!oeb || !oda || !osa) return -6;
+    std::vector<std::vector<uint32_t>> dbuf(n_blocks), sbuf(n_blocks);
+    std::vector<size_t> dpos(n_blocks, 0), dlen(n_blocks, 0);
+    for (i64 b = 0; b < n_blocks; b++) {
+      dbuf[b].resize(EBUF);
+      sbuf[b].resize(EBUF);
+    }
+    std::vector<uint8_t> oeb_b;
+    std::vector<uint32_t> oda_b, osa_b;
+    oeb_b.reserve(1 << 20);
+    oda_b.reserve(1 << 20);
+    osa_b.reserve(1 << 20);
+    for (i64 i = 0; i < total; i++) {
+      const uint8_t c = cur[i];
+      if (epos[c] == dlen[c]) {
+        // refill all three block streams in lockstep (equal lengths)
+        elen[c] = std::fread(ebuf[c].data(), 1, EBUF, feb[c]);
+        dlen[c] = std::fread(dbuf[c].data(), 4, EBUF, fda[c]);
+        const size_t sl = std::fread(sbuf[c].data(), 4, EBUF, fsa[c]);
+        epos[c] = 0;
+        if (dlen[c] == 0 || dlen[c] != elen[c] || sl != dlen[c])
+          return -7;
+      }
+      const size_t k = epos[c]++;
+      oeb_b.push_back(ebuf[c][k]);
+      oda_b.push_back(dbuf[c][k] +
+                      static_cast<uint32_t>(block_doc_base[c]));
+      osa_b.push_back(sbuf[c][k] +
+                      static_cast<uint32_t>(block_text_base[c]));
+      if (oeb_b.size() == (1 << 20)) {
+        std::fwrite(oeb_b.data(), 1, oeb_b.size(), oeb);
+        std::fwrite(oda_b.data(), 4, oda_b.size(), oda);
+        std::fwrite(osa_b.data(), 4, osa_b.size(), osa);
+        oeb_b.clear();
+        oda_b.clear();
+        osa_b.clear();
+      }
+    }
+    std::fwrite(oeb_b.data(), 1, oeb_b.size(), oeb);
+    std::fwrite(oda_b.data(), 4, oda_b.size(), oda);
+    std::fwrite(osa_b.data(), 4, osa_b.size(), osa);
+    std::fclose(oeb);
+    std::fclose(oda);
+    std::fclose(osa);
+    for (i64 b = 0; b < n_blocks; b++) {
+      std::fclose(fda[b]);
+      std::fclose(fsa[b]);
+    }
+  }
+  for (i64 b = 0; b < n_blocks; b++) std::fclose(feb[b]);
+  return pass;
+}
+
+// File-backed Kasai LCP over the merged index.
+//
+//   text_path — the collection as bytes with 0 at every terminator slot
+//               (total bytes; the global sentinel is implicit)
+//   sa_path   — u32 global text offsets (lime_merge_blocks output)
+//   lcp_path  — output, u32 per row
+//
+// Semantics match the in-RAM builder exactly: terminators are pairwise
+// distinct there, so the h-extension stops whenever either side hits a
+// terminator (0 byte here; two DIFFERENT suffixes can never both sit on
+// the same terminator position).
+int64_t lime_kasai_files(const char* text_path, const char* sa_path,
+                         const char* lcp_path, int64_t total) {
+  if (total <= 0) return -1;
+  std::vector<uint8_t> text(total);
+  std::vector<uint32_t> sa(total);
+  {
+    FILE* f = std::fopen(text_path, "rb");
+    if (!f) return -2;
+    if (std::fread(text.data(), 1, total, f) !=
+        static_cast<size_t>(total)) {
+      std::fclose(f);
+      return -2;
+    }
+    std::fclose(f);
+    f = std::fopen(sa_path, "rb");
+    if (!f) return -3;
+    if (std::fread(sa.data(), 4, total, f) !=
+        static_cast<size_t>(total)) {
+      std::fclose(f);
+      return -3;
+    }
+    std::fclose(f);
+  }
+  std::vector<uint32_t> rank(total);
+  for (i64 r = 0; r < total; r++) rank[sa[r]] = static_cast<uint32_t>(r);
+  std::vector<uint32_t> lcp(total, 0);
+  i64 h = 0;
+  for (i64 i = 0; i < total; i++) {
+    const i64 r = rank[i];
+    if (r > 0) {
+      const i64 j = sa[r - 1];
+      while (i + h < total && j + h < total && text[i + h] &&
+             text[i + h] == text[j + h])
+        h++;
+      lcp[r] = static_cast<uint32_t>(h);
+      if (h > 0) h--;
+    } else {
+      h = 0;
+    }
+  }
+  return write_all(lcp_path, lcp.data(), total * 4) ? 0 : -4;
+}
+
 }  // extern "C"

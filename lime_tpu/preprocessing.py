@@ -44,8 +44,19 @@ def preprocess(reads1: str, reads2: Optional[str], genomes: str,
                 path = os.path.join(out_dir, f"col_{tag}{strand}.fasta")
                 write_fasta(path, list(r_names) + list(g_names),
                             list(seqs) + list(g_seqs))
-                build_index_files(path, list(seqs) + list(g_seqs),
-                                  max_lcp=max_lcp)
+                all_seqs = list(seqs) + list(g_seqs)
+                try:
+                    build_index_files(path, all_seqs, max_lcp=max_lcp)
+                except MemoryError:
+                    # beyond-RAM regime: blockwise build + external
+                    # merge under a budget (the reference's eGap --em)
+                    from .index.external import build_index_files_external
+
+                    budget = int(os.environ.get("LIME_BUILD_MEM",
+                                                4 << 30))
+                    build_index_files_external(path, all_seqs,
+                                               mem_budget=budget,
+                                               max_lcp=max_lcp)
                 write_docs(path, len(seqs) + len(g_seqs))
                 out_paths.append(path)
     timer.report()
