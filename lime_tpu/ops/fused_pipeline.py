@@ -348,12 +348,16 @@ def _host_split_for(config: LimeConfig, num_reads: int, num_genomes: int,
         cap = int(os.environ.get("LIME_HOST_MATRIX_CAP", 32 << 30))
         if num_reads * num_genomes * cell > cap:
             return 0
+        if _relay_attached():
+            # Behind the relay the measured bandwidth is non-stationary
+            # (0.1-40 MB/s windows, minutes-long wedges): a mixed split
+            # planned on a stale sample can strand 100+ MB of stream on
+            # a collapsed wire (measured: a 0.7-split run took 233 s in
+            # a window where all-host ran 20 s).  All-host is the
+            # variance-safe policy; LIME_HOST_FRAC / host_frac override.
+            return 256
         if _measured_link_bw is None:
-            # no real transfer measured yet: behind the relay assume
-            # degraded (all-host is the safe side — at worst it costs
-            # one collection of host CPU before feedback kicks in);
-            # direct-attached devices start pure-device
-            return 256 if _relay_attached() else 0
+            return 0  # direct-attached devices start pure-device
         bw = _measured_link_bw * 1e9
         rate = _HOST_POS_PER_SEC_CORE * min(os.cpu_count() or 1, 16)
         a = _STREAM_BYTES_PER_ROW * rate / max(bw, 1.0)
@@ -642,20 +646,45 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                             jnp.int32(window), num_reads, num_genomes,
                             r_pad, wide)
             if len(dense_start):
-                # genome-dense clusters: batched indicator-feature matmuls
-                # on the MXU (ops/dense_score.py); dispatches are async and
-                # overlap later collections' planning and host scoring
-                from .dense_score import dense_score_into
+                # genome-dense clusters: batched indicator-feature
+                # matmuls on the MXU (ops/dense_score.py).  Packing
+                # (host CPU, also yields the leftover list the rescue
+                # path needs NOW) runs here; the device dispatch joins
+                # the worker chain — sims_dev[fi] is only ever touched
+                # by chained jobs, never concurrently by this thread
+                # (a main-thread dispatch raced job_stream's slot write
+                # — caught as a paper-scale mismatch in the bench).
+                from .dense_score import (B_BLK, C_BLK, K, PR,
+                                          _dense_chunk, pack_chunks)
 
                 _, da_arr, ebwt_arr = arrays
                 with timer.phase("dense",
                                  nbytes=int(dense_len.sum()) * 5):
-                    if sims_dev[fi] is None:
-                        sims_dev[fi] = jnp.zeros((r_pad, g_pad), dev_dtype)
-                    sims_dev[fi], left_s, left_l = dense_score_into(
-                        sims_dev[fi], dense_start, dense_len, da_arr,
+                    d_chunks, left_s, left_l = pack_chunks(
+                        dense_start, dense_len, da_arr,
                         ebwt_arr if config.use_ebwt else None,
                         num_reads, num_genomes, g_pad)
+                if d_chunks:
+                    f_feat = (4 if config.use_ebwt else 1) * K
+
+                    def job_dense(fi=fi, d_chunks=d_chunks,
+                                  f_feat=f_feat):
+                        if sims_dev[fi] is None:
+                            sims_dev[fi] = jnp.zeros((r_pad, g_pad),
+                                                     dev_dtype)
+                        s = sims_dev[fi]
+                        for ridx, gidx, cmap_c, rid_c in d_chunks:
+                            s = _dense_chunk(
+                                s, jnp.asarray(ridx), jnp.asarray(gidx),
+                                jnp.asarray(cmap_c), jnp.asarray(rid_c),
+                                B_BLK, C_BLK, PR, f_feat, g_pad)
+                        sims_dev[fi] = s
+                        return s
+
+                    submit(job_dense,
+                           nbytes=sum(r.nbytes + g.nbytes + c.nbytes +
+                                      i.nbytes
+                                      for r, g, c, i in d_chunks))
                 if len(left_s):
                     bad_start = np.concatenate([bad_start, left_s])
                     bad_len = np.concatenate([bad_len, left_l])
