@@ -21,9 +21,28 @@ def reverse_complement(seq: bytes) -> bytes:
 
 
 def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
-    name = None
-    chunks: List[bytes] = []
+    """Iterate (title, sequence) records from FASTA or FASTQ.
+
+    FASTQ (first byte '@', fixed 4-line records — the reference's
+    dataset workflow feeds .fq files straight into preprocessing,
+    Datasets/README.md) yields the same (title, sequence) pairs;
+    quality lines are ignored.
+    """
     with open(path, "rb") as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == b"@":  # FASTQ
+            while True:
+                head = f.readline()
+                if not head:
+                    break
+                seq = f.readline().rstrip(b"\r\n")
+                f.readline()  # '+'
+                f.readline()  # quality
+                yield head[1:].rstrip(b"\r\n").decode(), seq
+            return
+        name = None
+        chunks: List[bytes] = []
         for raw in f:
             line = raw.rstrip(b"\r\n")
             if line.startswith(b">"):
@@ -33,8 +52,8 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
                 chunks = []
             elif line:
                 chunks.append(line)
-    if name is not None:
-        yield name, b"".join(chunks)
+        if name is not None:
+            yield name, b"".join(chunks)
 
 
 def read_fasta(path: str) -> Tuple[List[str], List[bytes]]:
