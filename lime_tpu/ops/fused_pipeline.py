@@ -852,6 +852,21 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
         return (open_lcp(fasta, mmap=True), open_da(fasta, mmap=True),
                 open_ebwt(fasta, mmap=True) if config.use_ebwt else None)
 
+    # Hybrid split in the row-blocked regime: host planes are
+    # num_reads x num_genomes bytes EACH (the reference's SimArray,
+    # 18.8 GB at the full setB2) — allowed only when all F of them fit
+    # the host-matrix cap; otherwise the streams carry everything and
+    # host memory stays bounded (the mode's original promise).
+    import os as _os
+
+    host_num = _host_split_for(config, num_reads, num_genomes, wide)
+    cell = 4 if wide else 1
+    cap = int(_os.environ.get("LIME_HOST_MATRIX_CAP", 32 << 30))
+    if F * num_reads * num_genomes * cell > cap:
+        host_num = 0
+    host_dtype = np.uint32 if wide else np.uint8
+    planes = {}  # fi -> host-scored dense plane
+
     plans = []   # per file: (dev_arrays, chunks, windows, row_bits)
     dense_dev = []  # (file, d_ridx, d_gidx, d_cmap, d_rid)
     corr = []
@@ -878,7 +893,7 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
              bad_l) = native.plan_pairs_packed(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
-                num_refs=num_genomes)
+                num_refs=num_genomes, host_num=host_num)
         nb = sum(a.nbytes for a in pk_arrays)
         with timer.phase("dispatch", nbytes=nb):
             plans.append((pair_upload(pk_arrays, chunks), chunks, windows,
@@ -895,22 +910,39 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
                 bad_l = np.concatenate([bad_l, left_l])
         if len(bad_s):
             total = int(np.asarray(bad_l, np.int64).sum())
-            if total > (_COO_POSITION_CAP << 6):
-                # the blocked mode's memory promise is "no (R, G) host
-                # matrix"; a pathologically degenerate index whose rescue
-                # COO would approach that is refused with a clear error
-                # rather than OOMing mid-run
+            if host_num and native.available():
+                # hybrid share: exact SIMD scoring into this file's
+                # dense plane (within the host-matrix cap, checked
+                # above); per block its row slice compacts to delta-COO
+                with timer.phase("host_score", nbytes=total * 5):
+                    planes[fi] = np.zeros((num_reads, num_genomes),
+                                          host_dtype)
+                    from ..constants import IUPAC_WATERFALL_PAIRS
+
+                    native.score_clusters_native(
+                        np.asarray(bad_s, np.int64),
+                        np.asarray(bad_l, np.int64), np.asarray(da),
+                        None if ebwt is None else np.asarray(ebwt),
+                        num_reads, num_genomes, SYMBOL_RANK_LUT,
+                        _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
+                        wide=wide, threads=0, out=planes[fi])
+            elif total > (_COO_POSITION_CAP << 6):
+                # the stream-only mode's memory promise is "no (R, G)
+                # host matrix"; a pathologically degenerate index whose
+                # rescue COO would approach that is refused with a
+                # clear error rather than OOMing mid-run
                 raise ValueError(
                     f"{total} positions route to the exact host scorer "
                     "(IUPAC-degenerate or >255-row clusters) — beyond "
                     "the row-blocked mode's sparse-correction budget. "
                     "Classify this input with the staged host pipeline.")
-            with timer.phase("host_score", nbytes=total * 5):
-                rows, cols, vals = _rescue_sparse(
-                    bad_s, bad_l, da, ebwt, num_reads, num_genomes,
-                    config)
-                if len(rows):
-                    corr.append((fi, rows, cols, vals))
+            else:
+                with timer.phase("host_score", nbytes=total * 5):
+                    rows, cols, vals = _rescue_sparse(
+                        bad_s, bad_l, da, ebwt, num_reads, num_genomes,
+                        config)
+                    if len(rows):
+                        corr.append((fi, rows, cols, vals))
         arrays = None
 
     # classify constants
@@ -952,6 +984,27 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
                             stackd, d_ridxs, d_gidxs, d_cmaps, d_rids,
                             jnp.int32(base), B_BLK, C_BLK, PR, f_dim,
                             g_pad, fi)
+                if fi in planes:
+                    # hybrid share: this block's slice of the host
+                    # plane, compacted to delta-COO and scattered into
+                    # the stack plane
+                    from .pair_score import coo_scatter_into_stack
+
+                    hi_r = min(base + B, num_reads)
+                    if hi_r > base:
+                        p24 = (not wide) and num_genomes < 4096
+                        chain = merge_coo_segments(
+                            native.coo_compact(
+                                planes[fi][base:hi_r], hi_r - base,
+                                num_genomes, wide=wide,
+                                max_drow=15 if p24 else 255),
+                            max_drow=15 if p24 else 255)
+                        if chain is not None:
+                            timer.add_bytes(
+                                "block_score",
+                                len(chain[1]) * (3 if p24 else 7))
+                            stackd = coo_scatter_into_stack(
+                                stackd, chain, fi, packed24=p24)
         # COO corrections for this block
         cfile = np.empty(0, np.int32)
         crows = ccols = np.empty(0, np.int32)

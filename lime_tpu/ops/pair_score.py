@@ -469,6 +469,68 @@ def _coo_scatter_block24(sim, buf, base_row, n: int):
     return out.reshape(shape)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n", "fidx"))
+def _coo_scatter_block24_stack(stack, buf, base_row, fidx: int, n: int):
+    """coo24 chain into plane ``fidx`` of the (F, B, g_pad) stack
+    (row-blocked mode).  Static file plane: 1-D scatter on the
+    extracted plane + write-back (2-coordinate scatters measured ~10x
+    slower)."""
+    d = lax.dynamic_slice_in_dim(buf, 0, n)
+    col = ((d & 15).astype(jnp.int32) << 8) | \
+        lax.dynamic_slice_in_dim(buf, n, n).astype(jnp.int32)
+    val = lax.bitcast_convert_type(
+        lax.dynamic_slice_in_dim(buf, 2 * n, n), jnp.int8)
+    rows = base_row + jnp.cumsum((d >> 4).astype(jnp.int32))
+    F, B, g_pad = stack.shape
+    flat = rows * g_pad + col
+    plane = stack[fidx].reshape(-1).at[flat].add(
+        val, mode="promise_in_bounds")
+    return stack.at[fidx].set(plane.reshape(B, g_pad))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("fidx",))
+def _coo_scatter_block_stack(stack, drow, col, val, base_row, fidx: int):
+    """Legacy 3-array chain into plane ``fidx`` (wide counters)."""
+    rows = base_row + jnp.cumsum(drow.astype(jnp.int32))
+    F, B, g_pad = stack.shape
+    flat = rows * g_pad + col.astype(jnp.int32)
+    v = lax.bitcast_convert_type(
+        val, jnp.int8 if stack.dtype == jnp.int8 else jnp.int32)
+    plane = stack[fidx].reshape(-1).at[flat].add(
+        v, mode="promise_in_bounds")
+    return stack.at[fidx].set(plane.reshape(B, g_pad))
+
+
+def coo_scatter_into_stack(stack: jax.Array, chain, fidx: int,
+                           packed24: bool = False) -> jax.Array:
+    """Upload one delta-COO chain into plane ``fidx`` of a row-block
+    stack (rows in the chain are RELATIVE to the block base; the caller
+    slices its host plane per block).  Pow2-padded; async dispatch."""
+    base0, drow, col, val = chain
+    n = len(drow)
+    size = 1 << 16
+    while size < n:
+        size <<= 1
+    if packed24:
+        col = col.astype(np.uint16)
+        buf = np.zeros(3 * size, np.uint8)
+        buf[:n] = (drow << 4) | (col >> 8).astype(np.uint8)
+        buf[size:size + n] = (col & 255).astype(np.uint8)
+        buf[2 * size:2 * size + n] = val
+        return _coo_scatter_block24_stack(stack, jax.device_put(buf),
+                                          jnp.int32(base0), fidx, size)
+    pad = size - n
+    if pad:
+        drow = np.pad(drow, (0, pad))
+        col = np.pad(col, (0, pad))
+        val = np.pad(val, (0, pad))
+    return _coo_scatter_block_stack(stack, jax.device_put(drow),
+                                    jax.device_put(col),
+                                    jax.device_put(val),
+                                    jnp.int32(base0), fidx)
+
+
 def coo_scatter_into(sim: jax.Array, chain,
                      packed24: bool = False) -> jax.Array:
     """Upload one merged delta-COO chain and scatter it into ``sim``.

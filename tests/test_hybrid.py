@@ -108,3 +108,21 @@ def test_planner_host_num_partition():
         if 0 < nr < e - s:
             total += e - s
     assert b2 == total
+
+
+@pytest.mark.skipif(not native.available(), reason="native planner needed")
+def test_hybrid_blocked_mode(dataset, tmp_path, monkeypatch):
+    """Hybrid host scoring composes with the row-blocked beyond-HBM
+    mode: per block, the host plane's row slice ships as delta-COO into
+    the stack plane.  Forced multi-block via LIME_HBM_BUDGET=1."""
+    a = str(tmp_path / "staged.csv")
+    run_paired(dataset.collections, a, dataset.num_reads,
+               dataset.num_genomes, dataset.lineage_path,
+               dataset.read_len, HOST)
+    monkeypatch.setenv("LIME_HBM_BUDGET", "1")
+    for frac in (1.0, 0.5):
+        b = str(tmp_path / f"blocked_{frac}.csv")
+        run_paired(dataset.collections, b, dataset.num_reads,
+                   dataset.num_genomes, dataset.lineage_path,
+                   dataset.read_len, FUSED.replace(host_frac=frac))
+        assert open(a).read() == open(b).read(), f"host_frac {frac}"
