@@ -113,6 +113,10 @@ def _measure_link_bandwidth():
     import jax
 
     a = np.random.default_rng(0).integers(0, 255, 64 << 20, dtype=np.uint8)
+    # run the exact pattern once untimed first: the gather program's
+    # one-time compile + per-program relay load (~2-3s) must not sit
+    # inside the timed window (shape-specific, so same-shape warm-up)
+    np.asarray(jax.device_put(a)[:: 4 << 20][:16])
     t0 = time.time()
     d = jax.device_put(a)
     np.asarray(d[:: 4 << 20][:16])

@@ -239,7 +239,9 @@ def _dispatch(args) -> int:
             mesh = make_mesh(args.devices)
         engine = args.engine
         if engine == "pair" and not native.available():
-            engine = "banded"  # pair planning needs the native runtime
+            print("warning: native runtime unavailable — falling back "
+                  "to the banded SPMD engine", file=sys.stderr)
+            engine = "banded"
         runner = run_sharded_pairs if engine == "pair" else run_sharded
         res = runner(args.collections, args.output, args.num_reads,
                      args.num_genomes, args.lineage, args.read_len,

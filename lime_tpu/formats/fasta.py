@@ -37,7 +37,12 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
                 if not head:
                     break
                 seq = f.readline().rstrip(b"\r\n")
-                f.readline()  # '+'
+                plus = f.readline()
+                if not plus.startswith(b"+"):
+                    raise ValueError(
+                        f"{path}: malformed FASTQ (expected '+' "
+                        "separator; wrapped multi-line records are not "
+                        "supported)")
                 f.readline()  # quality
                 yield head[1:].rstrip(b"\r\n").decode(), seq
             return

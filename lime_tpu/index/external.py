@@ -47,24 +47,47 @@ def plan_blocks(seq_lens: Sequence[int], mem_budget: int) -> List[int]:
     """Contiguous document partition: block end indexes (exclusive).
 
     Each block's terminator-augmented position count fits the SA-IS
-    budget.  A single document larger than the budget is rejected —
-    that regime needs a bigger host (the reference's eGap has the same
-    single-document floor for its internal phases).
+    budget.  Runs of LONG documents (genome sets) are indivisible — a
+    cut between near-identical genomes would blow the merge pass count
+    up to their common-prefix length — so a long-document run beyond
+    the budget is rejected with a clear message (the reference's eGap
+    has the same single-phase memory floor).
     """
     cap_pos = max(1, (mem_budget // 2) // _SAIS_BYTES_PER_POS)
+    # Long documents (genome sets) must stay within ONE block: the merge
+    # pass count is bounded by the longest CROSS-BLOCK common prefix, so
+    # a cut between two near-identical genomes would explode it.  Short
+    # documents (reads) tie-break at their terminators within ~read_len
+    # passes, so cuts between them are safe.
+    long_thresh = 65536
     blocks: List[int] = []
     acc = 0
-    for i, ln in enumerate(seq_lens):
-        pos = int(ln) + 1
-        if pos > cap_pos:
+    i = 0
+    n = len(seq_lens)
+    while i < n:
+        # group a maximal run of long documents as one indivisible unit
+        j = i + 1
+        if seq_lens[i] + 1 > long_thresh:
+            while j < n and seq_lens[j] + 1 > long_thresh:
+                j += 1
+        unit = sum(int(seq_lens[k]) + 1 for k in range(i, j))
+        if unit > cap_pos:
             raise MemoryError(
-                f"document {i} alone needs {pos * _SAIS_BYTES_PER_POS / 1e9:.1f}"
-                " GB to index; raise mem_budget")
-        if acc and acc + pos > cap_pos:
+                f"documents [{i}, {j}) need {unit * _SAIS_BYTES_PER_POS / 1e9:.1f}"
+                " GB to index as one block (long documents cannot be "
+                "split across blocks without exploding the merge pass "
+                "count); raise mem_budget")
+        if acc and acc + unit > cap_pos:
             blocks.append(i)
             acc = 0
-        acc += pos
-    blocks.append(len(seq_lens))
+        acc += unit
+        i = j
+    blocks.append(n)
+    if len(blocks) > 250:
+        raise MemoryError(
+            f"mem_budget would need {len(blocks)} blocks; the merge "
+            "supports at most 250 — raise mem_budget to at least "
+            f"{sum(int(l) + 1 for l in seq_lens) // 250 * 2 * _SAIS_BYTES_PER_POS} bytes")
     return blocks
 
 
@@ -133,6 +156,12 @@ def build_index_files_external(fasta_path: str, seqs: Sequence[bytes],
     passes = lib.lime_merge_blocks(
         prefix.encode(), len(ends), br.ctypes.data, db.ctypes.data,
         tb.ctypes.data, ns.ctypes.data, prefix.encode(), max_passes)
+    if passes == -8:
+        raise RuntimeError(
+            "lime_merge_blocks did not converge within max_passes — two "
+            "blocks share a common prefix longer than the pass budget "
+            "(near-identical long documents split across blocks?); "
+            "raise mem_budget so related documents share a block")
     if passes < 0:
         raise RuntimeError(f"lime_merge_blocks failed: {passes}")
     rc = lib.lime_kasai_files(text_path.encode(),

@@ -1630,6 +1630,21 @@ int64_t lime_build_index_block(const uint8_t* concat,
 
 namespace {
 
+// Closes every registered FILE* on scope exit (the merge has many
+// early error returns; leaking 250 block handles per failed attempt
+// would exhaust fds in a retrying process).
+struct FileCloser {
+  std::vector<FILE*> files;
+  FILE* track(FILE* f) {
+    if (f) files.push_back(f);
+    return f;
+  }
+  ~FileCloser() {
+    for (FILE* f : files)
+      if (f) std::fclose(f);
+  }
+};
+
 bool write_all(const char* path, const void* data, i64 bytes) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return false;
@@ -1678,14 +1693,14 @@ int64_t lime_merge_blocks(const char* prefix, int64_t n_blocks,
     nseq_total += block_nseqs[b];
   }
   char path[4096];
+  FileCloser fc;
 
-  // block eBWTs stay in RAM only as buffered streams; the interleave
-  // ping-pongs between two files
+  // block eBWTs stay in RAM only as buffered streams
   std::vector<FILE*> feb(n_blocks, nullptr);
   for (i64 b = 0; b < n_blocks; b++) {
     std::snprintf(path, sizeof(path), "%s.blk%lld.ebwt", prefix,
                   static_cast<long long>(b));
-    feb[b] = std::fopen(path, "rb");
+    feb[b] = fc.track(std::fopen(path, "rb"));
     if (!feb[b]) return -2;
   }
 
@@ -1774,20 +1789,20 @@ int64_t lime_merge_blocks(const char* prefix, int64_t n_blocks,
     for (i64 b = 0; b < n_blocks; b++) {
       std::snprintf(path, sizeof(path), "%s.blk%lld.da", prefix,
                     static_cast<long long>(b));
-      fda[b] = std::fopen(path, "rb");
+      fda[b] = fc.track(std::fopen(path, "rb"));
       std::snprintf(path, sizeof(path), "%s.blk%lld.sa", prefix,
                     static_cast<long long>(b));
-      fsa[b] = std::fopen(path, "rb");
+      fsa[b] = fc.track(std::fopen(path, "rb"));
       std::rewind(feb[b]);
       epos[b] = elen[b] = 0;
       if (!fda[b] || !fsa[b]) return -5;
     }
     std::snprintf(path, sizeof(path), "%s.ebwt", out_prefix);
-    FILE* oeb = std::fopen(path, "wb");
+    FILE* oeb = fc.track(std::fopen(path, "wb"));
     std::snprintf(path, sizeof(path), "%s.da", out_prefix);
-    FILE* oda = std::fopen(path, "wb");
+    FILE* oda = fc.track(std::fopen(path, "wb"));
     std::snprintf(path, sizeof(path), "%s.sa", out_prefix);
-    FILE* osa = std::fopen(path, "wb");
+    FILE* osa = fc.track(std::fopen(path, "wb"));
     if (!oeb || !oda || !osa) return -6;
     std::vector<std::vector<uint32_t>> dbuf(n_blocks), sbuf(n_blocks);
     std::vector<size_t> dpos(n_blocks, 0), dlen(n_blocks, 0);
@@ -1829,16 +1844,11 @@ int64_t lime_merge_blocks(const char* prefix, int64_t n_blocks,
     std::fwrite(oeb_b.data(), 1, oeb_b.size(), oeb);
     std::fwrite(oda_b.data(), 4, oda_b.size(), oda);
     std::fwrite(osa_b.data(), 4, osa_b.size(), osa);
-    std::fclose(oeb);
-    std::fclose(oda);
-    std::fclose(osa);
-    for (i64 b = 0; b < n_blocks; b++) {
-      std::fclose(fda[b]);
-      std::fclose(fsa[b]);
-    }
+    std::fflush(oeb);
+    std::fflush(oda);
+    std::fflush(osa);
   }
-  for (i64 b = 0; b < n_blocks; b++) std::fclose(feb[b]);
-  return pass;
+  return pass;  // FileCloser closes every handle
 }
 
 // File-backed Kasai LCP over the merged index.

@@ -572,7 +572,12 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                     return
                 dt = _time.perf_counter() - t0
                 if nbytes and dt > 0.05:
-                    _measured_link_bw = nbytes / 1e9 / dt
+                    # max across jobs: early samples are biased LOW by
+                    # one-time compiles/program loads inside the job
+                    sample = nbytes / 1e9 / dt
+                    if (_measured_link_bw is None
+                            or sample > _measured_link_bw):
+                        _measured_link_bw = sample
 
             th_up = threading.Thread(target=run)
             th_up.start()
@@ -724,11 +729,24 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                         # genome column fits 12 bits; legacy 3-array
                         # format for wide counters / ultra-wide DBs
                         p24 = (not wide) and num_genomes < 4096
-                        chain = merge_coo_segments(
-                            native.coo_compact(
-                                scratch, num_reads, num_genomes,
-                                wide=wide, max_drow=15 if p24 else 255),
-                            max_drow=15 if p24 else 255)
+                        if num_genomes > 65536:
+                            # coo_compact's u16 column cannot express
+                            # this width; fall back to plain COO
+                            # corrections (rare: the reference's widest
+                            # DB is 3,423 accessions)
+                            r_i, c_i = np.nonzero(scratch)
+                            corr.append((fi, r_i.astype(np.int32),
+                                         c_i.astype(np.int32),
+                                         scratch[r_i, c_i].astype(
+                                             np.int32)))
+                            chain = None
+                        else:
+                            chain = merge_coo_segments(
+                                native.coo_compact(
+                                    scratch, num_reads, num_genomes,
+                                    wide=wide,
+                                    max_drow=15 if p24 else 255),
+                                max_drow=15 if p24 else 255)
                         if chain is not None:
                             nb = (len(chain[1]) * (3 if p24 else
                                                    7 if wide else 4))

@@ -502,6 +502,22 @@ def _coo_scatter_block_stack(stack, drow, col, val, base_row, fidx: int):
     return stack.at[fidx].set(plane.reshape(B, g_pad))
 
 
+def _pack24(chain):
+    """coo24 packing: one u8 buffer of three pow2-padded planes
+    [drow4|colhi4][col_lo][val]; returns (base_row, buf, size)."""
+    base0, drow, col, val = chain
+    n = len(drow)
+    size = 1 << 16
+    while size < n:
+        size <<= 1
+    col = col.astype(np.uint16)
+    buf = np.zeros(3 * size, np.uint8)
+    buf[:n] = (drow << 4) | (col >> 8).astype(np.uint8)
+    buf[size:size + n] = (col & 255).astype(np.uint8)
+    buf[2 * size:2 * size + n] = val
+    return base0, buf, size
+
+
 def coo_scatter_into_stack(stack: jax.Array, chain, fidx: int,
                            packed24: bool = False) -> jax.Array:
     """Upload one delta-COO chain into plane ``fidx`` of a row-block
@@ -513,11 +529,7 @@ def coo_scatter_into_stack(stack: jax.Array, chain, fidx: int,
     while size < n:
         size <<= 1
     if packed24:
-        col = col.astype(np.uint16)
-        buf = np.zeros(3 * size, np.uint8)
-        buf[:n] = (drow << 4) | (col >> 8).astype(np.uint8)
-        buf[size:size + n] = (col & 255).astype(np.uint8)
-        buf[2 * size:2 * size + n] = val
+        base0, buf, size = _pack24(chain)
         return _coo_scatter_block24_stack(stack, jax.device_put(buf),
                                           jnp.int32(base0), fidx, size)
     pad = size - n
@@ -548,11 +560,7 @@ def coo_scatter_into(sim: jax.Array, chain,
         size <<= 1
     pad = size - n
     if packed24:
-        col = col.astype(np.uint16)
-        buf = np.zeros(3 * size, np.uint8)
-        buf[:n] = (drow << 4) | (col >> 8).astype(np.uint8)
-        buf[size:size + n] = (col & 255).astype(np.uint8)
-        buf[2 * size:2 * size + n] = val
+        base0, buf, size = _pack24(chain)
         return _coo_scatter_block24(sim, jax.device_put(buf),
                                     jnp.int32(base0), size)
     if pad:

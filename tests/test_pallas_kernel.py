@@ -129,7 +129,8 @@ def test_pair_hits_pallas_matches_core():
     interpret = jax.default_backend() != "tpu" \
         or not os.environ.get("LIME_TEST_TPU")
     rng = np.random.default_rng(11)
-    n = PAIR_TILE
+    n = 2 * PAIR_TILE  # two tiles: copies straddle the tile boundary,
+    # exercising the halo DMA/restack path (not just tile 0)
     codes = np.zeros(n, np.uint8)
     i = 0
     while i < n:
