@@ -114,3 +114,61 @@ def test_no_clusters(tmp_path):
     da = np.arange(10, dtype=np.uint32) % 3
     p, l = find_clusters(lcp, da, 2, 16)
     assert len(p) == 0
+
+
+def test_wide_db_beyond_u16_columns(tmp_path, monkeypatch):
+    """Databases wider than 65536 genomes: the pair engine and coo24
+    column are ineligible, so scoring runs through the host plane with
+    plain COO corrections — output must match the host executor."""
+    import numpy as np
+
+    from lime_tpu import native
+    from lime_tpu.config import LimeConfig
+    from lime_tpu.formats.fasta import reverse_complement
+    from lime_tpu.index.builder import build_index_files
+    from lime_tpu.pipeline import run_paired
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime needed")
+    rng = np.random.default_rng(77)
+    BASE = np.frombuffer(b"ACGT", np.uint8)
+    n_genomes = 65600  # just past the u16 column range
+    genomes = [bytes(BASE[rng.integers(0, 4, 24)])
+               for _ in range(n_genomes - 2)]
+    genomes += [bytes(BASE[rng.integers(0, 4, 3000)]) for _ in range(2)]
+    reads1, reads2 = [], []
+    L = 60
+    for i in range(40):
+        g = genomes[-1 - (i % 2)]
+        p = int(rng.integers(0, len(g) - 150))
+        frag = g[p:p + 150]
+        reads1.append(frag[:L])
+        reads2.append(reverse_complement(frag[-L:]))
+    cols = []
+    for tag, reads in (("1F", reads1),
+                       ("1RC", [reverse_complement(r) for r in reads1]),
+                       ("2F", reads2),
+                       ("2RC", [reverse_complement(r) for r in reads2])):
+        path = str(tmp_path / f"col_{tag}.fasta")
+        build_index_files(path, reads + genomes)
+        cols.append(path)
+    lineage = str(tmp_path / "lineage.csv")
+    with open(lineage, "w") as f:
+        f.write("Accession_number;Species;Genus;Family;Order;Class;"
+                "Phylum\n")
+        for i in range(n_genomes):
+            f.write(f"A{i};{100 + i};5;4;3;2;1\n")
+    a = str(tmp_path / "host.csv")
+    run_paired(cols, a, len(reads1), n_genomes, lineage, L,
+               LimeConfig(executor="host"))
+    # force the dense host-plane branch (not the small sparse rescue)
+    # so the >65536-column COO fallback actually runs
+    from lime_tpu.ops import fused_pipeline as fp
+
+    monkeypatch.setattr(fp, "_COO_POSITION_CAP", 1)
+    b = str(tmp_path / "wide.csv")
+    run_paired(cols, b, len(reads1), n_genomes, lineage, L,
+               LimeConfig(executor="tpu", fused=True, host_frac=1.0))
+    assert open(a).read() == open(b).read()
