@@ -121,13 +121,31 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_int64,
             ]
+            lib.lime_plan_score_coo.restype = ctypes.c_int64
+            lib.lime_plan_score_coo.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
             lib.lime_coo_compact.restype = ctypes.c_int64
             lib.lime_coo_compact.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p,
+            ]
+            lib.lime_plan_clusters.restype = ctypes.c_int64
+            lib.lime_plan_clusters.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_uint32, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
             _lib = lib
         except Exception:
@@ -513,16 +531,109 @@ def score_clusters_native(starts: np.ndarray, lens: np.ndarray,
     return out
 
 
+def plan_score_coo(lcp: np.ndarray, da: np.ndarray,
+                   ebwt: np.ndarray | None, num_reads: int, num_refs: int,
+                   alpha: int, sym_lut: np.ndarray, deg_lut: np.ndarray,
+                   wf_pairs: Sequence[Tuple[int, int]],
+                   threads: int = 1, max_drow: int = 15):
+    """Fused one-pass plan+score for the all-host hybrid mode.
+
+    One C++ pass over the index detects alpha-clusters, applies the
+    membership filter, scores every cluster (reference-exact u8 counter
+    semantics, src/ClusterBWT_DA.cpp:81-252) and returns the similarity
+    nonzeros as one delta-COO chain ``(base_row, drow, col, val)`` — the
+    dense (R, G) plane is never materialized, so the planner pass, the
+    scorer's random plane scatter and the two full-plane compaction scans
+    of the split pipeline all collapse into cache-resident work.
+
+    Returns ``(chain_or_None, n_clusters, n_positions)``.  Releases the
+    GIL for the whole pass.  u8 counters only (wide runs keep the dense
+    plane path).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lcp = np.ascontiguousarray(lcp, dtype=np.uint32)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    eb_ptr = 0
+    if ebwt is not None:
+        ebwt = np.ascontiguousarray(ebwt, dtype=np.uint8)
+        eb_ptr = ebwt.ctypes.data
+    sym_lut = np.ascontiguousarray(sym_lut, dtype=np.uint8)
+    deg_lut = np.ascontiguousarray(deg_lut, dtype=np.uint8)
+    wf = np.ascontiguousarray(
+        np.asarray(wf_pairs, dtype=np.int32).reshape(-1))
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    n = len(lcp)
+    meta = np.zeros(4, dtype=np.int64)
+    cap = max(1 << 22, n // 8)
+    for _ in range(2):
+        drow = np.empty(cap, np.uint8)
+        col = np.empty(cap, np.uint16)
+        val = np.empty(cap, np.uint8)
+        rc = lib.lime_plan_score_coo(
+            lcp.ctypes.data, da.ctypes.data, eb_ptr, n, num_reads,
+            num_refs, alpha, sym_lut.ctypes.data, deg_lut.ctypes.data,
+            wf.ctypes.data, len(wf) // 2, threads, max_drow, cap,
+            drow.ctypes.data, col.ctypes.data, val.ctypes.data,
+            meta.ctypes.data)
+        if rc == 0:
+            break
+        if rc == 1:
+            cap = int(meta[0]) + 8
+            continue
+        raise RuntimeError(f"lime_plan_score_coo failed: {rc}")
+    else:
+        raise RuntimeError("lime_plan_score_coo capacity retry failed")
+    cnt = int(meta[0])
+    n_clusters, n_pos = int(meta[2]), int(meta[3])
+    if cnt == 0:
+        return None, n_clusters, n_pos
+    chain = (int(meta[1]), drow[:cnt], col[:cnt], val[:cnt])
+    return chain, n_clusters, n_pos
+
+
+def plan_clusters(lcp: np.ndarray, da: np.ndarray, num_reads: int,
+                  alpha: int, threads: int = 1
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal cluster planner: (starts, lens) of every membership-passing
+    alpha-cluster, nothing else — the planning half of the all-host job
+    shop (~3x cheaper than the packed planner, which materializes stream
+    buffers an all-host run never uses).  Releases the GIL."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lcp = np.ascontiguousarray(lcp, dtype=np.uint32)
+    da = np.ascontiguousarray(da, dtype=np.uint32)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    n = len(lcp)
+    meta = np.zeros(3, dtype=np.int64)
+    cap = n // 2 + 1
+    starts = np.empty(cap, dtype=np.int64)
+    lens = np.empty(cap, dtype=np.int64)
+    rc = lib.lime_plan_clusters(
+        lcp.ctypes.data, da.ctypes.data, n, num_reads, alpha, threads,
+        cap, starts.ctypes.data, lens.ctypes.data, meta.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f"lime_plan_clusters failed: {rc}")
+    nc = int(meta[0])
+    return starts[:nc], lens[:nc]
+
+
 def coo_compact(mat: np.ndarray, num_reads: int, num_refs: int,
                 wide: bool = False, threads: int = 0,
-                max_drow: int = 255):
+                max_drow: int = 255, zero_after: bool = False):
     """Compact a dense similarity plane to the delta-COO uplink format.
 
     Returns a list of per-thread segments ``(base_row, drow_u8, col_u16,
     val)`` (val u8, or u32 when ``wide``): rows delta-encoded in scan
     order from ``base_row``, gaps > 255 bridged by zero-value entries
     (no-ops under scatter-add).  ~4 B per nonzero — the hybrid engine's
-    whole uplink for host-scored clusters.
+    whole uplink for host-scored clusters.  ``zero_after`` re-zeroes the
+    emitted cells while they are cache-hot, returning the plane ready
+    for reuse (replaces a separate full-plane fill).
     """
     lib = _load()
     if lib is None:
@@ -542,7 +653,7 @@ def coo_compact(mat: np.ndarray, num_reads: int, num_refs: int,
         seg = np.zeros(3 * threads, np.int64)
         rc = lib.lime_coo_compact(
             mat.ctypes.data, num_reads, num_refs, row_stride,
-            int(wide), threads, cap, max_drow,
+            int(wide), threads, cap, max_drow, int(zero_after),
             drow.ctypes.data, col.ctypes.data, val.ctypes.data,
             seg.ctypes.data)
         if rc >= 0:

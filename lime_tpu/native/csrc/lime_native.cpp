@@ -1082,10 +1082,47 @@ int64_t lime_plan_dense(const int64_t* starts, const int64_t* lens,
   return 0;
 }
 
-// Native cluster scorer — the host half of the density-routed scoring pass.
-//
-// Scores a cluster list into a dense (num_reads x num_refs) similarity
-// matrix with the reference's exact counter semantics
+}  // extern "C"
+
+namespace {
+
+// Per-thread flat scratch sized to the reference's sizeMaxBuf cluster cap
+// (src/Tools.h:35).  Segments are (cluster, document) groups; histograms
+// are materialized once per segment as the u8 views the pair loop needs
+// (read counters wrapped mod 256, genome counters saturated at 255 —
+// src/ClusterBWT_DA.cpp:96,123), so the hot (read x genome) loop is a
+// single 16-wide u8 min+sum the compiler vectorizes.
+constexpr i64 kMaxClu = 65536;
+
+struct ClusterScratch {
+  std::vector<uint64_t> keys;
+  std::vector<uint32_t> seg_doc;
+  std::vector<uint32_t> seg_cnt;  // raw position count (EBWT=0 variant)
+  std::vector<uint8_t> seg_h8;    // 16 u8 per segment (wrapped/saturated)
+  std::vector<uint32_t> seg_h32;  // raw counts (wide path + waterfall)
+  std::vector<uint8_t> seg_deg;
+  ClusterScratch() {
+    keys.resize(kMaxClu);
+    seg_doc.resize(kMaxClu);
+    seg_cnt.resize(kMaxClu);
+    seg_h8.resize(kMaxClu * 16);
+    seg_h32.resize(kMaxClu * 16);
+    seg_deg.resize(kMaxClu);
+  }
+};
+
+// Shared inputs of the per-cluster scoring core.
+struct ScoreCtx {
+  const uint32_t* da;
+  const uint8_t* ebwt;  // null selects the EBWT=0 document-count variant
+  i64 num_reads;
+  const uint8_t* sym_lut;
+  const uint8_t* deg_lut;
+  const int32_t* wf_pairs;
+  i64 n_wf;
+};
+
+// Score one alpha-cluster with the reference's exact counter semantics
 // (src/ClusterBWT_DA.cpp:81-252):
 //
 // - per (cluster, document) 16-symbol histograms; genome counters saturate
@@ -1095,9 +1132,245 @@ int64_t lime_plan_dense(const int64_t* starts, const int64_t* lens,
 //   waterfall including its first-block update quirk (the losing counter is
 //   zeroed, the winner never decremented — ClusterBWT_DA.cpp:150-161);
 // - ebwt == null selects the document-count variant (EBWT=0,
-//   ClusterBWT_DA.cpp:192-252): t = min(read_count, ref_count);
-// - the matrix accumulates u8 with wrap (SimArray_ +=,
-//   ClusterBWT_DA.cpp:183), or u32 when wide != 0 (dataTypeNumSim=1).
+//   ClusterBWT_DA.cpp:192-252): t = min(read_count, ref_count).
+//
+// The Emit policy receives every (read, genome) pair:
+//   em.base(rdoc)      — per-read-row base offset (caller-defined layout)
+//   em.reserve(k)      — announce <= k add() calls (batched-flush hook)
+//   em.add(base+gdoc, t) — accumulate raw u32 t at that cell
+// u8-plane emitters wrap t mod 256 internally (SimArray_ +=,
+// ClusterBWT_DA.cpp:183); the u32 plane (dataTypeNumSim=1) adds exactly.
+// kWide is compile-time so the hot u8 path carries no per-add branch.
+template <bool kWide, class Emit>
+inline void score_one_cluster(const ScoreCtx& cx, i64 s, i64 len,
+                              ClusterScratch& sc, Emit& em) {
+  const uint32_t* da = cx.da;
+  const uint8_t* ebwt = cx.ebwt;
+  const i64 num_reads = cx.num_reads;
+  if (len > kMaxClu) return;  // guarded upstream (sizeMaxBuf)
+  if (!kWide && ebwt && len <= 32) {
+    // Small-cluster fast path (the overwhelming majority: mean
+    // cluster length ~7 at the paper scale): no 64-bit key sort, no
+    // segment scratch — a linear doc table with the 4 ACGT counts
+    // packed into one u32 (counts <= 32 never carry across bytes).
+    // Falls through to the general path on any non-ACGT symbol
+    // (IUPAC waterfall, reference src/ClusterBWT_DA.cpp:146-177).
+    uint32_t docs[32];
+    uint32_t hh[32];
+    int nd = 0;
+    bool pure = true;
+    for (i64 j = 0; j < len && pure; j++) {
+      const unsigned sy = cx.sym_lut[ebwt[s + j]] & 15;
+      pure = sy < 4;
+      const uint32_t d = da[s + j];
+      int t = 0;
+      while (t < nd && docs[t] != d) t++;
+      if (t == nd) {
+        docs[nd] = d;
+        hh[nd] = 0;
+        nd++;
+      }
+      hh[t] += 1u << (8 * sy);
+    }
+    if (pure) {
+      em.reserve(len * len);
+      for (int a = 0; a < nd; a++) {
+        if (docs[a] >= static_cast<uint32_t>(num_reads)) continue;
+        const uint32_t x = hh[a];
+        const i64 base = em.base(docs[a]);
+        for (int b = 0; b < nd; b++) {
+          if (docs[b] < static_cast<uint32_t>(num_reads)) continue;
+          const uint32_t y = hh[b];
+          uint32_t t = 0;
+          for (int x8 = 0; x8 < 32; x8 += 8) {
+            const uint32_t rx = (x >> x8) & 0xFF;
+            const uint32_t gy = (y >> x8) & 0xFF;
+            t += rx < gy ? rx : gy;
+          }
+          em.add(base + docs[b], t);
+        }
+      }
+      return;
+    }
+  }
+  uint64_t* keys = sc.keys.data();
+  bool cluster_deg = false;
+  if (ebwt) {
+    for (i64 j = 0; j < len; j++) {
+      const uint8_t b = ebwt[s + j];
+      cluster_deg |= cx.deg_lut[b] != 0;
+      keys[j] = (static_cast<uint64_t>(da[s + j]) << 4) |
+                (cx.sym_lut[b] & 15);
+    }
+  } else {
+    for (i64 j = 0; j < len; j++)
+      keys[j] = static_cast<uint64_t>(da[s + j]) << 4;
+  }
+  if (len <= 48) {  // insertion sort beats std::sort on tiny clusters
+    for (i64 j = 1; j < len; j++) {
+      uint64_t key = keys[j];
+      i64 k = j - 1;
+      while (k >= 0 && keys[k] > key) {
+        keys[k + 1] = keys[k];
+        k--;
+      }
+      keys[k + 1] = key;
+    }
+  } else {
+    std::sort(keys, keys + len);
+  }
+
+  // Segment walk: reads have smaller doc ids, so read segments come
+  // first; [0, n_rseg) reads, [n_rseg, n_seg) genomes.
+  const bool fast8 = !kWide && ebwt && !cluster_deg;
+  i64 n_seg = 0, n_rseg = 0, k = 0;
+  while (k < len) {
+    const uint32_t doc = static_cast<uint32_t>(keys[k] >> 4);
+    uint32_t h[16] = {0};
+    uint32_t cnt = 0;
+    uint8_t dg = 0;
+    while (k < len && static_cast<uint32_t>(keys[k] >> 4) == doc) {
+      const unsigned sym = keys[k] & 15;
+      h[sym]++;
+      cnt++;
+      dg |= (sym >= 4 && sym <= 14);
+      k++;
+    }
+    const bool is_read = doc < static_cast<uint32_t>(num_reads);
+    sc.seg_doc[n_seg] = doc;
+    uint8_t* h8 = &sc.seg_h8[n_seg * 16];
+    for (int x = 0; x < 16; x++)
+      h8[x] = is_read ? static_cast<uint8_t>(h[x])          // wrap
+                      : static_cast<uint8_t>(h[x] > 255 ? 255 : h[x]);
+    if (!fast8) {  // the hot path never reads these
+      sc.seg_cnt[n_seg] = cnt;
+      sc.seg_deg[n_seg] = dg;
+      uint32_t* h32 = &sc.seg_h32[n_seg * 16];
+      for (int x = 0; x < 16; x++) h32[x] = h[x];
+    }
+    if (is_read) n_rseg++;
+    n_seg++;
+  }
+  if (fast8) {
+    // Hot path: t enters mod 256, which is what the u8 accumulate needs
+    for (i64 ri = 0; ri < n_rseg; ri++) {
+      const i64 base = em.base(sc.seg_doc[ri]);
+      const uint8_t* rh8 = &sc.seg_h8[ri * 16];
+      em.reserve(n_seg - n_rseg);
+      for (i64 gi = n_rseg; gi < n_seg; gi++) {
+        const uint8_t* gh8 = &sc.seg_h8[gi * 16];
+        uint32_t t = 0;
+        for (int x = 0; x < 16; x++)
+          t += rh8[x] < gh8[x] ? rh8[x] : gh8[x];
+        em.add(base + sc.seg_doc[gi], t);
+      }
+    }
+    return;
+  }
+  for (i64 ri = 0; ri < n_rseg; ri++) {
+    const uint32_t* rh32 = &sc.seg_h32[ri * 16];
+    const i64 base = em.base(sc.seg_doc[ri]);
+    em.reserve(n_seg - n_rseg);
+    for (i64 gi = n_rseg; gi < n_seg; gi++) {
+      const uint32_t gdoc = sc.seg_doc[gi];
+      uint32_t t = 0;
+      if (ebwt) {
+        const uint32_t* gh32 = &sc.seg_h32[gi * 16];
+        uint32_t u[16], v[16];
+        for (int x = 0; x < 16; x++) {
+          // uchar read counters wrap; wide (dataTypeNumSim=1) doesn't
+          uint32_t rh = kWide ? rh32[x] : (rh32[x] & 0xFF);
+          uint32_t gh = gh32[x] > 255 ? 255 : gh32[x];  // saturation
+          uint32_t m = rh < gh ? rh : gh;
+          t += m;
+          u[x] = rh - m;
+          v[x] = gh - m;
+        }
+        if (cluster_deg && (sc.seg_deg[ri] || sc.seg_deg[gi])) {
+          for (i64 p = 0; p < cx.n_wf; p++) {
+            const int iA = cx.wf_pairs[2 * p], a = cx.wf_pairs[2 * p + 1];
+            uint32_t va = v[a], ui = u[iA];
+            if (va > 0) {
+              t += va < ui ? va : ui;
+              if (va > ui) u[iA] = 0; else v[a] = 0;
+            }
+            uint32_t ua = u[a], vi = v[iA];
+            if (ua > 0) {
+              t += ua < vi ? ua : vi;
+              if (ua > vi) {
+                u[a] = ua - vi;
+                v[iA] = 0;
+              } else {
+                u[a] = 0;
+                v[iA] = vi - ua;
+              }
+            }
+          }
+        }
+      } else {
+        uint32_t rc = kWide ? sc.seg_cnt[ri] : (sc.seg_cnt[ri] & 0xFF);
+        uint32_t gc = sc.seg_cnt[gi] > 255 ? 255 : sc.seg_cnt[gi];
+        t = rc < gc ? rc : gc;
+      }
+      em.add(base + sc.seg_doc[gi], t);
+    }
+  }
+}
+
+// Dense-plane emitter (lime_score_clusters).  u8 planes batch (cell, t)
+// pairs across clusters and flush with prefetch — the matrix writes are
+// random (one cache miss each), so batching overlaps the misses instead
+// of serializing them behind each tiny cluster's math.  u32 planes (wide)
+// write directly.
+template <bool kWide>
+struct PlaneEmit {
+  uint8_t* out8;
+  uint32_t* out32;
+  i64 stride;
+  i64 num_reads;
+  std::vector<uint64_t> pairbuf;
+  i64 np = 0;
+  PlaneEmit(void* out, i64 stride_, i64 num_reads_)
+      : out8(static_cast<uint8_t*>(out)),
+        out32(static_cast<uint32_t*>(out)),
+        stride(stride_), num_reads(num_reads_),
+        pairbuf(kWide ? 0 : kMaxClu) {}
+  inline i64 base(uint32_t rdoc) const {
+    return static_cast<i64>(rdoc) * stride - num_reads;
+  }
+  // reserve() batches the capacity check per pair loop (k <= kMaxClu by
+  // the sizeMaxBuf guard), so add() itself is branch-free on u8 planes
+  inline void reserve(i64 k) {
+    if (!kWide && np + k > static_cast<i64>(pairbuf.size())) flush();
+  }
+  inline void add(i64 cell, uint32_t t) {
+    if (kWide) {
+      out32[cell] += t;
+      return;
+    }
+    pairbuf[np++] = (static_cast<uint64_t>(cell) << 8) | (t & 0xFF);
+  }
+  void flush() {
+    for (i64 p = 0; p < np; p++) {
+      if (p + 8 < np)
+        __builtin_prefetch(out8 + (pairbuf[p + 8] >> 8), 1, 1);
+      const i64 cell = static_cast<i64>(pairbuf[p] >> 8);
+      out8[cell] = static_cast<uint8_t>(out8[cell] + (pairbuf[p] & 0xFF));
+    }
+    np = 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Native cluster scorer — the host half of the density-routed scoring pass.
+//
+// Scores a cluster list into a dense (num_reads x num_refs) similarity
+// matrix; semantics in score_one_cluster above.  The matrix accumulates u8
+// with wrap (SimArray_ +=, ClusterBWT_DA.cpp:183), or u32 when wide != 0
+// (dataTypeNumSim=1).
 //
 // wf_pairs: the waterfall visit order as (acgt_rank, degenerate_rank) pairs
 // (flattened int32), passed in from the Python constants so the table has
@@ -1126,33 +1399,14 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
     while (threads > 1 && (threads - 1) * cells * cell_bytes > mem_cap)
       threads--;
   }
-
-  // Per-thread flat scratch sized to the reference's sizeMaxBuf cluster cap
-  // (src/Tools.h:35).  Segments are (cluster, document) groups; histograms
-  // are materialized once per segment as the u8 views the pair loop needs
-  // (read counters wrapped mod 256, genome counters saturated at 255 —
-  // src/ClusterBWT_DA.cpp:96,123), so the hot (read x genome) loop is a
-  // single 16-wide u8 min+sum the compiler vectorizes.
-  constexpr i64 kMaxClu = 65536;
-
-  struct Scratch {
-    std::vector<uint64_t> keys;
-    std::vector<uint32_t> seg_doc;
-    std::vector<uint32_t> seg_cnt;  // raw position count (EBWT=0 variant)
-    std::vector<uint8_t> seg_h8;    // 16 u8 per segment (wrapped/saturated)
-    std::vector<uint32_t> seg_h32;  // raw counts (wide path + waterfall)
-    std::vector<uint8_t> seg_deg;
-    Scratch() {
-      keys.resize(kMaxClu);
-      seg_doc.resize(kMaxClu);
-      seg_cnt.resize(kMaxClu);
-      seg_h8.resize(kMaxClu * 16);
-      seg_h32.resize(kMaxClu * 16);
-      seg_deg.resize(kMaxClu);
-    }
-  };
-
-  auto score_range = [&](i64 c_lo, i64 c_hi, void* out, Scratch& sc,
+  // The emitter-template core (score_one_cluster) keeps the u8 counter
+  // semantics in one place, but routing the plane path through it costs
+  // ~25% (the emitter's cursor lives in memory, and u64 stores into its
+  // pair buffer may alias it, defeating register allocation of the hot
+  // counters — measured 3.4 s -> 4.4 s per paper collection).  The plane
+  // path therefore keeps this hand-scheduled loop; tests pin it
+  // byte-identical to the template core via lime_plan_score_coo.
+  auto score_range = [&](i64 c_lo, i64 c_hi, void* out, ClusterScratch& sc,
                          i64 stride) {
     uint8_t* out8 = static_cast<uint8_t*>(out);
     uint32_t* out32 = static_cast<uint32_t*>(out);
@@ -1360,7 +1614,7 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
   };
 
   if (threads == 1 || n_clusters < 64) {
-    Scratch sc;
+    ClusterScratch sc;
     score_range(0, n_clusters, sim_out, sc, row_stride);
     return 0;
   }
@@ -1378,7 +1632,7 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
       partials[tid - 1].assign(cells * cell_bytes, 0);
       out = partials[tid - 1].data();
     }
-    Scratch sc;
+    ClusterScratch sc;
     const i64 chunk = (n_clusters + threads - 1) / threads;
     const i64 lo = tid * chunk;
     const i64 hi = std::min<i64>(n_clusters, lo + chunk);
@@ -1430,6 +1684,343 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
   return 0;
 }
 
+// Minimal cluster planner for the all-host hybrid mode: one parallel scan
+// over (lcp, da) emitting every alpha-cluster that passes the membership
+// filter (>= 1 read AND >= 1 genome position, reference
+// src/ClusterLCP.cpp:220) as (start, len) — nothing else.  The full packed
+// planner (lime_plan_pairs_packed) spends ~3x longer materializing run
+// masks and stream buffers that an all-host run never uses; this is the
+// planning half of the host job-shop (Python schedules one collection per
+// worker thread).
+//
+// Run detection and the skip-leading/read-past-end straddle protocol match
+// lime_plan_score_coo above (reference src/ClusterLCP.cpp:196-264).
+// Thread-order concatenation keeps the output deterministic; clusters are
+// emitted in ascending start order.
+//
+//   meta out — [0] cluster count, [1] max cluster len, [2] total positions
+//
+// Returns 0, or 1 when cap is insufficient (meta[0] = needed).
+int64_t lime_plan_clusters(const uint32_t* lcp, const uint32_t* da,
+                           int64_t n, int64_t num_reads, uint32_t alpha,
+                           int64_t threads, int64_t cap,
+                           int64_t* starts_out, int64_t* lens_out,
+                           int64_t* meta) {
+  if (n <= 0 || num_reads <= 0) return -1;
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
+  std::vector<std::vector<i64>> t_s(threads), t_l(threads);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(static_cast<int>(threads))
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    std::vector<i64>& vs = t_s[tid];
+    std::vector<i64>& vl = t_l[tid];
+    const i64 lo = std::max<i64>(1, 1 + (n - 1) * tid / threads);
+    const i64 hi = 1 + (n - 1) * (tid + 1) / threads;
+    i64 i = lo;
+    if (tid > 0)  // skip-leading (thread 0 owns a run starting at 1)
+      while (i < n && lcp[i] >= alpha) i++;
+    auto handle = [&](i64 run_s) {
+      i64 j = run_s;
+      while (j < n && lcp[j] >= alpha) j++;  // may read past hi
+      const i64 ps = run_s - 1, len = j - ps;
+      i64 nr = 0;
+      for (i64 p = ps; p < j; p++) nr += da[p] < nr_u32;
+      if (nr > 0 && nr < len) {
+        vs.push_back(ps);
+        vl.push_back(len);
+      }
+      return j;
+    };
+    while (i < hi) {
+      if (lcp[i] >= alpha)
+        i = handle(i) + 1;
+      else
+        i++;
+    }
+    if (i == hi && hi < n && lcp[hi] >= alpha) handle(hi);
+  }
+  i64 total = 0, max_len = 0, n_pos = 0;
+  for (int t = 0; t < threads; t++) total += t_s[t].size();
+  meta[0] = total;
+  if (total > cap) return 1;
+  i64 w = 0;
+  for (int t = 0; t < threads; t++) {
+    for (size_t k = 0; k < t_s[t].size(); k++) {
+      starts_out[w] = t_s[t][k];
+      lens_out[w] = t_l[t][k];
+      if (t_l[t][k] > max_len) max_len = t_l[t][k];
+      n_pos += t_l[t][k];
+      w++;
+    }
+  }
+  meta[1] = max_len;
+  meta[2] = n_pos;
+  return 0;
+}
+
+// Fused planner+scorer for the all-host hybrid mode: ONE pass over
+// (lcp, da, ebwt) that detects alpha-clusters (run detection + the
+// skip-leading/read-past-end straddle protocol, reference
+// src/ClusterLCP.cpp:196-264), applies the both-sides membership filter
+// (ClusterLCP.cpp:220), scores every cluster with the reference-exact core
+// (score_one_cluster above) and aggregates the resulting (read, genome)
+// pair scores directly into ONE delta-COO chain — the dense
+// (num_reads x num_refs) SimArray plane (src/ClusterBWT_DA.cpp:606-611) is
+// never materialized.  Replaces the planner pass + scorer pass + two
+// full-plane compaction scans of the split pipeline with cache-resident
+// aggregation:
+//
+//   phase A (parallel over position ranges): scan + score; (cell, t8)
+//     pairs are appended to per-thread per-tile lists (tile = 2^20 cells);
+//   phase B (parallel over tiles): each 1 MB u8 tile accumulates its pair
+//     lists with u8 wrap (= the SimArray's uchar += semantics), then is
+//     swept once, L2-hot, emitting (cell, val) nonzeros in cell order;
+//   phase C: serialize entries into the (drow u8, col u16, val u8) chain
+//     with bridge entries for row gaps > max_drow.
+//
+// Memory: ~8 bytes per emitted (read, genome) pair — the same pair count
+// the plane path scatters, materialized instead of random-scattered.
+//
+//   meta out — [0] entry count (or needed capacity when returning 1),
+//              [1] base_row of the chain, [2] clusters scored,
+//              [3] positions covered by scored clusters
+//
+// Returns 0 on success, 1 if cap is insufficient (meta[0] = needed),
+// -2 on a cluster longer than 65536 (the reference's sizeMaxBuf guard,
+// src/ClusterBWT_DA.cpp:558-562), -1 on bad arguments.  Only the !wide
+// (u8 counter) configuration is supported — wide runs keep the dense
+// plane path.
+int64_t lime_plan_score_coo(
+    const uint32_t* lcp, const uint32_t* da, const uint8_t* ebwt,
+    int64_t n, int64_t num_reads, int64_t num_refs, uint32_t alpha,
+    const uint8_t* sym_lut, const uint8_t* deg_lut,
+    const int32_t* wf_pairs, int64_t n_wf,
+    int64_t threads, int64_t max_drow, int64_t cap,
+    uint8_t* drow_out, uint16_t* col_out, uint8_t* val_out,
+    int64_t* meta) {
+  if (n <= 0 || num_reads <= 0 || num_refs <= 0) return -1;
+  if (num_refs > 65536) return -1;  // u16 genome column
+  if (max_drow < 1 || max_drow > 255) return -1;
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  constexpr int kTileShift = 20;
+  constexpr i64 kTile = 1 << kTileShift;
+  const i64 cells = num_reads * num_refs;
+  const i64 n_tiles = (cells + kTile - 1) >> kTileShift;
+
+  struct ACtx {
+    std::vector<std::vector<uint64_t>> tiles;
+    i64 n_clusters = 0, n_pos = 0;
+    int err = 0;
+  };
+  std::vector<ACtx> actx(threads);
+  for (auto& cx : actx) cx.tiles.resize(n_tiles);
+
+  struct CooEmit {
+    std::vector<std::vector<uint64_t>>* tiles;
+    i64 num_reads, num_refs;
+    inline i64 base(uint32_t rdoc) const {
+      return static_cast<i64>(rdoc) * num_refs - num_reads;
+    }
+    inline void reserve(i64) {}
+    inline void add(i64 cell, uint32_t t) {
+      if (!(t & 0xFF)) return;  // zero adds are no-ops under u8 wrap
+      (*tiles)[cell >> kTileShift].push_back(
+          (static_cast<uint64_t>(cell) << 8) | (t & 0xFF));
+    }
+  };
+  const ScoreCtx scx{da, ebwt, num_reads, sym_lut, deg_lut,
+                     wf_pairs, n_wf};
+  const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
+  const bool dbg = std::getenv("LIME_PSC_DEBUG") != nullptr;
+  auto now = []() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+  };
+  double tA = now();
+
+#ifdef _OPENMP
+#pragma omp parallel num_threads(static_cast<int>(threads))
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    ACtx& acx = actx[tid];
+    CooEmit em{&acx.tiles, num_reads, num_refs};
+    ClusterScratch sc;
+    const i64 lo = std::max<i64>(1, 1 + (n - 1) * tid / threads);
+    const i64 hi = 1 + (n - 1) * (tid + 1) / threads;
+    // skip-leading: positions with lcp >= alpha at the range head belong
+    // to the previous thread's crossing cluster (ClusterLCP.cpp:196-202).
+    // Thread 0 has no predecessor: a run starting at position 1 is a real
+    // cluster covering row 0 (the m[0]=0 rule), so it must not skip.
+    i64 i = lo;
+    if (tid > 0)
+      while (i < n && lcp[i] >= alpha) i++;
+    auto handle = [&](i64 run_s) {
+      i64 j = run_s;
+      while (j < n && lcp[j] >= alpha) j++;  // may read past hi
+      const i64 ps = run_s - 1, len = j - ps;
+      i64 nr = 0;
+      for (i64 p = ps; p < j; p++) nr += da[p] < nr_u32;
+      if (nr > 0 && nr < len) {  // membership filter
+        if (len > 65536) {
+          acx.err = -2;  // reference sizeMaxBuf guard
+        } else {
+          score_one_cluster<false>(scx, ps, len, sc, em);
+          acx.n_clusters++;
+          acx.n_pos += len;
+        }
+      }
+      return j;
+    };
+    while (i < hi && !acx.err) {
+      if (lcp[i] >= alpha)
+        i = handle(i) + 1;
+      else
+        i++;
+    }
+    // read-past-end epilogue: a run starting exactly at hi is ours (the
+    // next thread's skip-leading rule skips it — ClusterLCP.cpp:243-264)
+    if (!acx.err && i == hi && hi < n && lcp[hi] >= alpha) handle(hi);
+  }
+  for (auto& cx : actx)
+    if (cx.err) return cx.err;
+  double tB = now();
+  if (dbg) {
+    i64 n_pairs = 0;
+    for (auto& cx : actx)
+      for (auto& v : cx.tiles) n_pairs += v.size();
+    std::fprintf(stderr, "psc: phaseA %.2fs pairs=%lld\n", tB - tA,
+                 static_cast<long long>(n_pairs));
+  }
+
+  // Phase B: per-tile u8 accumulate + one L2-hot sweep, tiles split
+  // across threads in order (entry concatenation stays cell-sorted).
+  std::vector<std::vector<uint64_t>> entries(threads);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(static_cast<int>(threads))
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    const i64 b0 = n_tiles * tid / threads;
+    const i64 b1 = n_tiles * (tid + 1) / threads;
+    if (b0 < b1) {
+      std::vector<uint8_t> tile(kTile, 0);
+      uint8_t* tp = tile.data();
+      std::vector<uint64_t>& out = entries[tid];
+      for (i64 b = b0; b < b1; b++) {
+        i64 n_pairs = 0;
+        for (auto& cx : actx) n_pairs += cx.tiles[b].size();
+        if (!n_pairs) continue;
+        const uint64_t cell_base = static_cast<uint64_t>(b) << kTileShift;
+        for (auto& cx : actx) {
+          for (uint64_t pr : cx.tiles[b]) {
+            const uint32_t local =
+                static_cast<uint32_t>((pr >> 8) - cell_base);
+            tp[local] = static_cast<uint8_t>(tp[local] + (pr & 0xFF));
+          }
+          std::vector<uint64_t>().swap(cx.tiles[b]);
+        }
+        const i64 span = std::min<i64>(kTile, cells - cell_base);
+        i64 g = 0;
+        for (; g + 8 <= span; g += 8) {
+          uint64_t w;
+          std::memcpy(&w, tp + g, 8);
+          if (!w) continue;
+          for (int x = 0; x < 8; x++) {
+            const uint8_t v = tp[g + x];
+            if (v) out.push_back(((cell_base + g + x) << 8) | v);
+          }
+          std::memset(tp + g, 0, 8);  // tile ready for the next bucket
+        }
+        for (; g < span; g++) {
+          if (tp[g]) {
+            out.push_back(((cell_base + g) << 8) | tp[g]);
+            tp[g] = 0;
+          }
+        }
+      }
+    }
+  }
+
+  if (dbg) std::fprintf(stderr, "psc: phaseB %.2fs\n", now() - tB);
+  double tC = now();
+
+  // Phase C: delta-chain serialization (entries are cell-sorted across
+  // the thread vectors by construction).  Pass 1 sizes the chain.
+  i64 base_row = 0;
+  for (auto& ev : entries) {
+    if (!ev.empty()) {
+      base_row = static_cast<i64>(ev[0] >> 8) / num_refs;
+      break;
+    }
+  }
+  i64 total = 0, n_bridges = 0, last_row = base_row;
+  for (auto& ev : entries) {
+    for (uint64_t e : ev) {
+      const i64 row = static_cast<i64>(e >> 8) / num_refs;
+      i64 gap = row - last_row;
+      while (gap > max_drow) {
+        n_bridges++;
+        gap -= max_drow;
+      }
+      total++;
+      last_row = row;
+    }
+  }
+  meta[0] = total + n_bridges;
+  meta[1] = base_row;
+  i64 ncl = 0, npos = 0;
+  for (auto& cx : actx) {
+    ncl += cx.n_clusters;
+    npos += cx.n_pos;
+  }
+  meta[2] = ncl;
+  meta[3] = npos;
+  if (total + n_bridges > cap) return 1;
+  i64 w = 0;
+  last_row = base_row;
+  for (auto& ev : entries) {
+    for (uint64_t e : ev) {
+      const i64 cell = static_cast<i64>(e >> 8);
+      const i64 row = cell / num_refs;
+      i64 gap = row - last_row;
+      while (gap > max_drow) {
+        drow_out[w] = static_cast<uint8_t>(max_drow);
+        col_out[w] = 0;
+        val_out[w] = 0;
+        w++;
+        gap -= max_drow;
+      }
+      drow_out[w] = static_cast<uint8_t>(gap);
+      col_out[w] = static_cast<uint16_t>(cell - row * num_refs);
+      val_out[w] = static_cast<uint8_t>(e & 0xFF);
+      w++;
+      last_row = row;
+    }
+  }
+  meta[0] = w;
+  if (dbg) std::fprintf(stderr, "psc: phaseC %.2fs\n", now() - tC);
+  return 0;
+}
+
 // Format the final assignment CSV block (reference src/Classify.cpp:722-731).
 //
 //   types — 0=U 1=C 2=A 3=H per read; taxid/sim only read for C/H rows
@@ -1476,10 +2067,10 @@ int64_t lime_format_csv(const uint8_t* types, const uint32_t* taxid,
 //
 // Returns the total entry count, or the NEGATED needed capacity if cap is
 // insufficient (caller grows and retries).
-int64_t lime_coo_compact(const void* mat, int64_t num_reads,
+int64_t lime_coo_compact(void* mat, int64_t num_reads,
                          int64_t num_refs, int64_t row_stride,
                          int64_t wide, int64_t threads, int64_t cap,
-                         int64_t max_drow,
+                         int64_t max_drow, int64_t zero_after,
                          uint8_t* drow_out, uint16_t* col_out,
                          void* val_out, int64_t* seg_meta) {
   if (num_reads <= 0 || num_refs <= 0 || row_stride < num_refs) return -1;
@@ -1487,10 +2078,39 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
   if (num_refs > 65536) return -2;
   if (threads < 1) threads = 1;
   if (threads > 16) threads = 16;
-  const uint8_t* m8 = static_cast<const uint8_t*>(mat);
-  const uint32_t* m32 = static_cast<const uint32_t*>(mat);
+  uint8_t* m8 = static_cast<uint8_t*>(mat);
+  uint32_t* m32 = static_cast<uint32_t*>(mat);
   uint8_t* v8 = static_cast<uint8_t*>(val_out);
   uint32_t* v32 = static_cast<uint32_t*>(val_out);
+
+  // The planes are overwhelmingly zero (nnz ~0.4% of cells at the paper
+  // scale), so the scans skip zero regions 8 bytes at a time — the
+  // byte-per-cell loop this replaces ran at ~1.8 GB/s and was the
+  // second-largest host cost after scoring itself.
+  auto row_nnz = [&](i64 r) {
+    i64 nz = 0;
+    if (wide) {
+      const uint32_t* p = m32 + r * row_stride;
+      i64 g = 0;
+      for (; g + 2 <= num_refs; g += 2) {
+        uint64_t w;
+        std::memcpy(&w, p + g, 8);
+        if (w) nz += (p[g] != 0) + (p[g + 1] != 0);
+      }
+      for (; g < num_refs; g++) nz += p[g] != 0;
+    } else {
+      const uint8_t* p = m8 + r * row_stride;
+      i64 g = 0;
+      for (; g + 8 <= num_refs; g += 8) {
+        uint64_t w;
+        std::memcpy(&w, p + g, 8);
+        if (!w) continue;
+        for (int x = 0; x < 8; x++) nz += p[g + x] != 0;
+      }
+      for (; g < num_refs; g++) nz += p[g] != 0;
+    }
+    return nz;
+  };
 
   std::vector<i64> cnt(threads, 0);
   // pass 1: per-thread entry counts (nonzeros + bridge entries)
@@ -1502,14 +2122,7 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
     const i64 r1 = num_reads * (t + 1) / threads;
     i64 c = 0, last = r0 - 1;
     for (i64 r = r0; r < r1; r++) {
-      i64 nz = 0;
-      if (wide) {
-        const uint32_t* p = m32 + r * row_stride;
-        for (i64 g = 0; g < num_refs; g++) nz += p[g] != 0;
-      } else {
-        const uint8_t* p = m8 + r * row_stride;
-        for (i64 g = 0; g < num_refs; g++) nz += p[g] != 0;
-      }
+      const i64 nz = row_nnz(r);
       if (!nz) continue;
       c += (r - last - 1) / max_drow;  // bridges
       c += nz;
@@ -1526,7 +2139,9 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
   }
   if (total > cap) return -total;
 
-  // pass 2: fill at offsets
+  // pass 2: fill at offsets.  With zero_after the emitted cells are
+  // re-zeroed while cache-hot, so the caller's scratch plane comes back
+  // all-zero for the next collection (no separate ~1 GB fill pass).
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(static_cast<int>(threads))
 #endif
@@ -1535,34 +2150,60 @@ int64_t lime_coo_compact(const void* mat, int64_t num_reads,
     const i64 r1 = num_reads * (t + 1) / threads;
     i64 w = seg_meta[3 * t + 0], last = r0 - 1;
     for (i64 r = r0; r < r1; r++) {
-      i64 nz = 0;
-      const uint8_t* p8 = m8 + r * row_stride;
-      const uint32_t* p32 = m32 + r * row_stride;
-      if (wide) {
-        for (i64 g = 0; g < num_refs; g++) nz += p32[g] != 0;
-      } else {
-        for (i64 g = 0; g < num_refs; g++) nz += p8[g] != 0;
-      }
-      if (!nz) continue;
+      uint8_t* p8 = m8 + r * row_stride;
+      uint32_t* p32 = m32 + r * row_stride;
       i64 gap = r - last;
-      while (gap > max_drow) {
-        drow_out[w] = static_cast<uint8_t>(max_drow);
-        col_out[w] = 0;
-        if (wide) v32[w] = 0; else v8[w] = 0;
-        w++;
-        gap -= max_drow;
-      }
       bool first = true;
-      for (i64 g = 0; g < num_refs; g++) {
-        const uint32_t v = wide ? p32[g] : p8[g];
-        if (!v) continue;
+      auto emit = [&](i64 g, uint32_t v) {
+        if (first) {
+          while (gap > max_drow) {
+            drow_out[w] = static_cast<uint8_t>(max_drow);
+            col_out[w] = 0;
+            if (wide) v32[w] = 0; else v8[w] = 0;
+            w++;
+            gap -= max_drow;
+          }
+        }
         drow_out[w] = first ? static_cast<uint8_t>(gap) : 0;
         col_out[w] = static_cast<uint16_t>(g);
         if (wide) v32[w] = v; else v8[w] = static_cast<uint8_t>(v);
         first = false;
         w++;
+      };
+      if (wide) {
+        i64 g = 0;
+        for (; g + 2 <= num_refs; g += 2) {
+          uint64_t wv;
+          std::memcpy(&wv, p32 + g, 8);
+          if (!wv) continue;
+          if (p32[g]) emit(g, p32[g]);
+          if (p32[g + 1]) emit(g + 1, p32[g + 1]);
+          if (zero_after) std::memset(p32 + g, 0, 8);
+        }
+        for (; g < num_refs; g++) {
+          if (p32[g]) {
+            emit(g, p32[g]);
+            if (zero_after) p32[g] = 0;
+          }
+        }
+      } else {
+        i64 g = 0;
+        for (; g + 8 <= num_refs; g += 8) {
+          uint64_t wv;
+          std::memcpy(&wv, p8 + g, 8);
+          if (!wv) continue;
+          for (int x = 0; x < 8; x++)
+            if (p8[g + x]) emit(g + x, p8[g + x]);
+          if (zero_after) std::memset(p8 + g, 0, 8);
+        }
+        for (; g < num_refs; g++) {
+          if (p8[g]) {
+            emit(g, p8[g]);
+            if (zero_after) p8[g] = 0;
+          }
+        }
       }
-      last = r;
+      if (!first) last = r;
     }
   }
   return total;
