@@ -94,6 +94,23 @@ def _score_program(packed, doc, window, num_reads: int, num_refs: int,
                               acc_dtype=jnp.int32 if wide else jnp.int8)
 
 
+def _pack_triplet(types, taxid, sim):
+    """(types u8, taxid u32, sim f32) -> one (3, R_pad) u32 buffer.
+
+    The relay charges a fixed ~0.03-0.05 s per device->host transfer on
+    top of wire time; one packed buffer replaces three result fetches
+    (round-4 measured them at ~0.1 s of fixed cost per run)."""
+    return jnp.stack([types.astype(jnp.uint32),
+                      taxid.astype(jnp.uint32),
+                      lax.bitcast_convert_type(sim, jnp.uint32)])
+
+
+def _unpack_triplet(packed_h):
+    """Host-side decode of _pack_triplet's buffer."""
+    return (packed_h[0].astype(np.uint8), packed_h[1].astype(np.uint32),
+            packed_h[2].view(np.float32))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_files", "tax_rank", "assign_higher", "is_mod",
@@ -108,16 +125,17 @@ def _classify_program(sims, crows, ccols, cvals, cfile, tax, rank_matrix,
     ``sims`` is donated: the sparse correction scatter happens in place.
     Rows past the real read count are junk (the scatter drop row and pad)
     and are discarded by the caller; genome lanes past the real count are
-    masked by ``valid_t``.
+    masked by ``valid_t``.  Returns one packed (3, R_pad) u32 buffer
+    (types | taxid | sim-bits) — a single downlink transfer.
     """
     if crows.shape[0]:
         # int8 add wraps mod 256 = the reference's uchar accumulate, so the
         # correction values enter pre-wrapped
         sims = sims.at[cfile, crows, ccols].add(
             cvals.astype(sims.dtype), mode="drop")
-    return blockwise_cascade(sims, tax, rank_matrix, valid_t, error, norm,
-                             beta, num_files, tax_rank, assign_higher,
-                             is_mod, block)
+    return _pack_triplet(*blockwise_cascade(
+        sims, tax, rank_matrix, valid_t, error, norm, beta, num_files,
+        tax_rank, assign_higher, is_mod, block))
 
 
 @functools.partial(
@@ -137,9 +155,9 @@ def _classify_program_planes(sims_list, crows, ccols, cvals, cfile, tax,
     if crows.shape[0]:
         sims = sims.at[cfile, crows, ccols].add(
             cvals.astype(sims.dtype), mode="drop")
-    return blockwise_cascade(sims, tax, rank_matrix, valid_t, error, norm,
-                             beta, num_files, tax_rank, assign_higher,
-                             is_mod, block)
+    return _pack_triplet(*blockwise_cascade(
+        sims, tax, rank_matrix, valid_t, error, norm, beta, num_files,
+        tax_rank, assign_higher, is_mod, block))
 
 
 def _dense_threshold_for(num_genomes: int, config: LimeConfig) -> int:
@@ -536,6 +554,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
         th = None
         th_up = None  # tail of the chained device-dispatch worker queue
         up_errors = []
+        submit_lock = threading.Lock()  # job-shop workers submit too
 
         def submit(fn, nbytes=0):
             """Chain a device-dispatch job onto the uplink worker queue.
@@ -554,9 +573,8 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             import time as _time
 
             nonlocal th_up
-            prev = th_up
 
-            def run():
+            def run(prev):
                 global _measured_link_bw
                 if prev is not None:
                     prev.join()
@@ -579,8 +597,10 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                             or sample > _measured_link_bw):
                         _measured_link_bw = sample
 
-            th_up = threading.Thread(target=run)
-            th_up.start()
+            with submit_lock:  # chain atomically (workers submit too)
+                t = threading.Thread(target=run, args=(th_up,))
+                th_up = t
+                t.start()
 
         if stack_bytes * 3 + (1 << 30) < 15 << 30:
             # pre-warm the classify executable on zeroed planes through
@@ -599,9 +619,76 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
             submit(job_warm_classify)
 
-        with timer.phase("load"):
-            arrays = load(collections[0])
-        for fi in range(F):
+        # All-host fused mode (the relay-pinned production split): per
+        # collection ONE light planning pass + single-thread SIMD scoring
+        # + cache-hot compaction, scheduled as a 2-worker job shop so both
+        # cores stay busy end to end.  Round-4's serial variant left one
+        # core idle through every planning phase and paid 2-thread
+        # partial-plane zero+merge overhead inside the scorer; the job
+        # shop runs two collections' single-thread pipelines side by side
+        # instead (phase times below are summed across workers, so
+        # plan/host_score report aggregate CPU seconds, not wall).
+        all_host = (pair and host_num == 256 and not wide
+                    and num_genomes <= 65536)
+        if all_host:
+            import queue
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..constants import IUPAC_WATERFALL_PAIRS
+
+            plane_pool: queue.Queue = queue.Queue()
+            p24 = num_genomes < 4096
+            max_drow = 15 if p24 else 255
+
+            def host_job(fi):
+                with timer.phase("load"):
+                    lcp, da, ebwt = load(collections[fi])
+                timer.add_bytes("score",
+                                len(lcp) * (9 if config.use_ebwt else 8))
+                with timer.phase("plan"):
+                    starts, lens = native.plan_clusters(
+                        lcp, da, num_reads, config.alpha, threads=1)
+                try:
+                    plane = plane_pool.get_nowait()
+                except queue.Empty:
+                    plane = np.zeros((num_reads, num_genomes), np.uint8)
+                total = int(lens.sum())
+                with timer.phase("host_score", nbytes=total * 5):
+                    native.score_clusters_native(
+                        starts, lens, np.asarray(da),
+                        None if ebwt is None else np.asarray(ebwt),
+                        num_reads, num_genomes, SYMBOL_RANK_LUT,
+                        _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
+                        wide=False, threads=1, out=plane)
+                    segs = native.coo_compact(
+                        plane, num_reads, num_genomes, wide=False,
+                        threads=1, max_drow=max_drow, zero_after=True)
+                    # zero_after returned the plane all-zero: reusable
+                    plane_pool.put(plane)
+                    chain = merge_coo_segments(segs, max_drow=max_drow)
+                if chain is None:
+                    return
+                nb = len(chain[1]) * (3 if p24 else 4)
+                timer.add_bytes("uplink_sync", nb)
+
+                def job_coo(fi=fi, chain=chain):
+                    if sims_dev[fi] is None:
+                        sims_dev[fi] = jnp.zeros((r_pad, g_pad),
+                                                 dev_dtype)
+                    sims_dev[fi] = coo_scatter_into(sims_dev[fi], chain,
+                                                    packed24=p24)
+                    return sims_dev[fi]
+
+                submit(job_coo, nbytes=nb)
+
+            with ThreadPoolExecutor(max_workers=2) as host_pool:
+                for fut in [host_pool.submit(host_job, fi)
+                            for fi in range(F)]:
+                    fut.result()
+        else:
+            with timer.phase("load"):
+                arrays = load(collections[0])
+        for fi in range(0 if all_host else F):
             if fi > 0:
                 with timer.phase("load"):
                     th.join()
@@ -805,7 +892,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             cvals = np.empty(0, np.int32)
 
         with timer.phase("classify_run"):
-            types, taxid, sim = jax.block_until_ready(
+            packed_res = jax.block_until_ready(
                 _classify_program_planes(
                     tuple(sims_dev), jnp.asarray(crows),
                     jnp.asarray(ccols), jnp.asarray(cvals),
@@ -813,13 +900,9 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                     normd, betad, F, config.tax_rank,
                     config.assign_higher, not wide, block))
             sims_dev = [None] * F
-        with timer.phase("classify_fetch"):
-            with timer.phase("fetch_types"):
-                t_h = np.asarray(types)
-            with timer.phase("fetch_tax"):
-                x_h = np.asarray(taxid)
-            with timer.phase("fetch_sim"):
-                s_h = np.asarray(sim)
+        with timer.phase("classify_fetch",
+                         nbytes=int(packed_res.size) * 4):
+            t_h, x_h, s_h = _unpack_triplet(np.asarray(packed_res))
             result = ClassifyResult(t_h[:num_reads], x_h[:num_reads],
                                     s_h[:num_reads])
     timer.report()
@@ -1045,7 +1128,7 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             ccols = np.pad(ccols, (0, pad))
             cvals = np.pad(cvals, (0, pad))
         with timer.phase("block_classify"):
-            types, taxid, sim = jax.block_until_ready(_classify_program(
+            packed_res = jax.block_until_ready(_classify_program(
                 stackd, jnp.asarray(crows), jnp.asarray(ccols),
                 jnp.asarray(cvals), jnp.asarray(cfile), taxd, rankd,
                 validd, error, norm, beta, F, config.tax_rank,
@@ -1053,9 +1136,10 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
         with timer.phase("block_fetch"):
             hi = min(B, num_reads - base)
             if hi > 0:
-                out_t.append(np.asarray(types)[:hi])
-                out_x.append(np.asarray(taxid)[:hi])
-                out_s.append(np.asarray(sim)[:hi])
+                t_h, x_h, s_h = _unpack_triplet(np.asarray(packed_res))
+                out_t.append(t_h[:hi])
+                out_x.append(x_h[:hi])
+                out_s.append(s_h[:hi])
     result = ClassifyResult(np.concatenate(out_t), np.concatenate(out_x),
                             np.concatenate(out_s))
     timer.report()
