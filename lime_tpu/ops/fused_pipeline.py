@@ -312,12 +312,66 @@ def _warm_d2h_async() -> None:
     threading.Thread(target=warm, daemon=True).start()
 
 
-# True delivered host->device bandwidth (GB/s), measured by the uplink
-# worker from real transfers: elapsed time from device_put to the scatter
-# result being READY on device (an active probe is useless here — the
-# relay acknowledges device_put as soon as it has buffered the bytes
+# True delivered host->device bandwidth samples (GB/s), measured by the
+# uplink worker from real transfers: elapsed time from device_put to the
+# scatter result being READY on device (an active probe is useless here —
+# the relay acknowledges device_put as soon as it has buffered the bytes
 # locally, so only a dependent device computation observes delivery).
-_measured_link_bw = None
+# Recency-weighted: link weather is non-stationary (0.1-40 MB/s windows),
+# so newer samples count double — round 4 kept the max across the whole
+# process, a deliberately high-biased estimator that would overcommit the
+# device path on any link that degrades mid-run.
+import collections as _collections
+
+_bw_samples: "_collections.deque" = _collections.deque(maxlen=4)
+
+# Host SIMD scorer positions/s, measured from real scoring batches of
+# this process (replaces round 4's hardcoded folklore constant).
+_host_rate_samples: "_collections.deque" = _collections.deque(maxlen=4)
+
+
+def _record_link_bw(sample_gbps: float) -> None:
+    _bw_samples.append(sample_gbps)
+
+
+def _record_host_rate(pos_per_sec: float) -> None:
+    _host_rate_samples.append(pos_per_sec)
+
+
+def _recency_weighted(samples) -> float | None:
+    """Weighted mean with weights doubling per newer sample."""
+    if not samples:
+        return None
+    ws = [2.0 ** i for i in range(len(samples))]
+    return sum(w * s for w, s in zip(ws, samples)) / sum(ws)
+
+
+def _link_bw_estimate() -> float | None:
+    return _recency_weighted(_bw_samples)
+
+
+def _host_rate_estimate() -> float:
+    """Measured scorer rate (positions/s, all cores), else the prior."""
+    per_core = _recency_weighted(_host_rate_samples)
+    import os
+
+    cores = min(os.cpu_count() or 1, 16)
+    if per_core is None:
+        return _HOST_POS_PER_SEC_CORE * cores
+    return per_core * cores
+
+
+def _split_fraction(bw_gbps: float, host_pos_per_sec: float) -> float:
+    """Pure split model: fraction of clusters to host-score.
+
+    Equalizes two concurrent pipelines — the device path ships
+    ~_STREAM_BYTES_PER_ROW per surviving position over the link, the
+    host path scores positions at ``host_pos_per_sec`` and ships only
+    pre-aggregated delta-COO nonzeros.  f = A / (1 + A) with
+    A = bytes_per_row * host_rate / link_bw.
+    """
+    a = _STREAM_BYTES_PER_ROW * host_pos_per_sec / max(bw_gbps * 1e9, 1.0)
+    return a / (1.0 + a)
 
 
 def _relay_attached() -> bool:
@@ -374,12 +428,16 @@ def _host_split_for(config: LimeConfig, num_reads: int, num_genomes: int,
             # a window where all-host ran 20 s).  All-host is the
             # variance-safe policy; LIME_HOST_FRAC / host_frac override.
             return 256
-        if _measured_link_bw is None:
+        bw = _link_bw_estimate()
+        if bw is None:
             return 0  # direct-attached devices start pure-device
-        bw = _measured_link_bw * 1e9
-        rate = _HOST_POS_PER_SEC_CORE * min(os.cpu_count() or 1, 16)
-        a = _STREAM_BYTES_PER_ROW * rate / max(bw, 1.0)
-        f = a / (1.0 + a)
+        rate = _host_rate_estimate()
+        f = _split_fraction(bw, rate)
+        import logging
+
+        logging.getLogger("lime_tpu").info(
+            "hybrid split: bw=%.3f GB/s rate=%.1f Mpos/s -> host f=%.2f",
+            bw, rate / 1e6, f)
     else:
         f = float(frac)
     host_num = int(round(f * 256))
@@ -565,7 +623,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             host-scores the next collection (C++, GIL released).  Jobs
             chain so transfers serialize in order; each job blocks on its
             device result and reports the TRUE delivered bandwidth into
-            ``_measured_link_bw`` — the feedback that retunes the hybrid
+            the bandwidth estimator — the feedback that retunes the hybrid
             split for the following collections (the relay acks
             device_put once buffered, so only a dependent device result
             observes actual delivery).
@@ -575,7 +633,6 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             nonlocal th_up
 
             def run(prev):
-                global _measured_link_bw
                 if prev is not None:
                     prev.join()
                 if up_errors:
@@ -590,12 +647,10 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                     return
                 dt = _time.perf_counter() - t0
                 if nbytes and dt > 0.05:
-                    # max across jobs: early samples are biased LOW by
-                    # one-time compiles/program loads inside the job
-                    sample = nbytes / 1e9 / dt
-                    if (_measured_link_bw is None
-                            or sample > _measured_link_bw):
-                        _measured_link_bw = sample
+                    # recency-weighted samples (early ones are biased LOW
+                    # by one-time compiles/program loads inside the job —
+                    # the doubling weights age them out quickly)
+                    _record_link_bw(nbytes / 1e9 / dt)
 
             with submit_lock:  # chain atomically (workers submit too)
                 t = threading.Thread(target=run, args=(th_up,))
@@ -654,12 +709,18 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                     plane = np.zeros((num_reads, num_genomes), np.uint8)
                 total = int(lens.sum())
                 with timer.phase("host_score", nbytes=total * 5):
+                    import time as _time
+
+                    t0 = _time.perf_counter()
                     native.score_clusters_native(
                         starts, lens, np.asarray(da),
                         None if ebwt is None else np.asarray(ebwt),
                         num_reads, num_genomes, SYMBOL_RANK_LUT,
                         _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
                         wide=False, threads=1, out=plane)
+                    dt = _time.perf_counter() - t0
+                    if total > 1 << 20 and dt > 0.05:
+                        _record_host_rate(total / dt)  # 1-thread sample
                     segs = native.coo_compact(
                         plane, num_reads, num_genomes, wide=False,
                         threads=1, max_drow=max_drow, zero_after=True)
@@ -804,7 +865,9 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                         else:
                             scratch.fill(0)
                         from ..constants import IUPAC_WATERFALL_PAIRS
+                        import time as _time
 
+                        t0 = _time.perf_counter()
                         native.score_clusters_native(
                             np.asarray(bad_start, np.int64),
                             np.asarray(bad_len, np.int64), np.asarray(da),
@@ -812,6 +875,12 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                             num_reads, num_genomes, SYMBOL_RANK_LUT,
                             _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
                             wide=wide, threads=0, out=scratch)
+                        dt = _time.perf_counter() - t0
+                        if total > 1 << 20 and dt > 0.05:
+                            import os as _os2
+
+                            cores = min(_os2.cpu_count() or 1, 16)
+                            _record_host_rate(total / dt / cores)
                         # coo24 (3 B/entry, one buffer) whenever the
                         # genome column fits 12 bits; legacy 3-array
                         # format for wide counters / ultra-wide DBs

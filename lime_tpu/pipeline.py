@@ -63,9 +63,17 @@ def cluster_lcp(fasta_path: str, num_reads: int, num_genomes: int,
         # The standalone boundary scan is pure streaming at memory bandwidth
         # with a one-bit carry; the host implementation is optimal for it.
         # The TPU executor's value is in the fused scoring pass, where the
-        # same mask is consumed on device (ops/fused_pass.py).
-        p_start, lens = find_clusters(np.asarray(lcp), np.asarray(da),
-                                      num_reads, config.alpha)
+        # same mask is consumed on device (ops/fused_pass.py).  The native
+        # scan honors config.threads via the straddle protocol (the
+        # reference's ClusterLCP `threads` argument, src/ClusterLCP.cpp:139).
+        from . import native
+        if native.available():
+            p_start, lens = native.plan_clusters(
+                np.asarray(lcp), np.asarray(da), num_reads, config.alpha,
+                threads=config.threads)
+        else:
+            p_start, lens = find_clusters(np.asarray(lcp), np.asarray(da),
+                                          num_reads, config.alpha)
     with timer.phase("write"):
         write_clusters(clusters_path_for(fasta_path, config.alpha), p_start, lens)
         meta = cluster_metadata(p_start, lens, num_reads, num_genomes, config.alpha)
@@ -105,9 +113,25 @@ def cluster_bwt(fasta_path: str, read_len: int,
                                      alpha=meta.alpha,
                                      lcp=open_lcp(fasta_path))
         else:
-            sim = score_clusters(p_start, lens, np.asarray(da),
-                                 None if ebwt is None else np.asarray(ebwt),
-                                 meta.num_reads, meta.num_genomes, config)
+            from . import native
+            if native.available():
+                # the SIMD scorer honors config.threads (the reference's
+                # ClusterBWT_DA OpenMP argument, src/ClusterBWT_DA.cpp:630);
+                # outputs are thread-count independent (per-thread partials
+                # merged with commutative u8 wrap adds)
+                from .constants import IUPAC_WATERFALL_PAIRS, SYMBOL_RANK_LUT
+                from .ops.fused_pass import _DEGENERATE_BYTE
+                sim = native.score_clusters_native(
+                    np.asarray(p_start, np.int64), np.asarray(lens, np.int64),
+                    np.asarray(da),
+                    None if ebwt is None else np.asarray(ebwt),
+                    meta.num_reads, meta.num_genomes, SYMBOL_RANK_LUT,
+                    _DEGENERATE_BYTE, IUPAC_WATERFALL_PAIRS,
+                    wide=config.wide_sim, threads=config.threads)
+            else:
+                sim = score_clusters(p_start, lens, np.asarray(da),
+                                     None if ebwt is None else np.asarray(ebwt),
+                                     meta.num_reads, meta.num_genomes, config)
     with timer.phase("write"):
         norm_rows = normalize_scores(sim, read_len, meta.alpha)
         res_prefix = fasta_path + ".res"
@@ -165,37 +189,54 @@ def classify(res_prefixes: Sequence[str], num_reads: int, num_genomes: int,
     counts = {"U": 0, "C": 0, "A": 0, "H": 0}
     error = np.float32(config.error_tolerance)
 
+    def _block(lo: int):
+        hi = min(lo + block_reads, num_reads)
+        dense = np.zeros((hi - lo, len(res_prefixes), num_genomes),
+                         dtype=np.float32)
+        maxs = np.zeros((hi - lo, len(res_prefixes)), dtype=np.float32)
+        for fi in range(len(res_prefixes)):
+            if config.binary_results:
+                pos, recs = files[fi]
+                dense[:, fi], maxs[:, fi] = dense_from_bin(
+                    pos, recs, num_reads, num_genomes, lo, hi)
+            else:
+                for r in range(lo, hi):
+                    for k, (sim_v, id_v) in enumerate(txt[fi][r]):
+                        if k == 0:
+                            maxs[r - lo, fi] = sim_v
+                        else:
+                            dense[r - lo, fi, id_v] = sim_v
+        if config.executor == "tpu":
+            from .ops.classify_tpu import classify_reads_tpu
+            return classify_reads_tpu(dense, maxs, tax, rank_matrix,
+                                      config.tax_rank, error,
+                                      config.assign_higher)
+        return classify_reads(dense, maxs, tax, rank_matrix,
+                              config.tax_rank, error, config.assign_higher)
+
+    blocks = list(range(0, num_reads, block_reads))
     with timer.phase("cascade"), open(output_path, "w") as out:
         out.write("C/U/A/H,IdSeqRead,TaxID,maxSim\n")
-        for lo in range(0, num_reads, block_reads):
-            hi = min(lo + block_reads, num_reads)
-            dense = np.zeros((hi - lo, len(res_prefixes), num_genomes),
-                             dtype=np.float32)
-            maxs = np.zeros((hi - lo, len(res_prefixes)), dtype=np.float32)
-            for fi in range(len(res_prefixes)):
-                if config.binary_results:
-                    pos, recs = files[fi]
-                    dense[:, fi], maxs[:, fi] = dense_from_bin(
-                        pos, recs, num_reads, num_genomes, lo, hi)
-                else:
-                    for r in range(lo, hi):
-                        for k, (sim_v, id_v) in enumerate(txt[fi][r]):
-                            if k == 0:
-                                maxs[r - lo, fi] = sim_v
-                            else:
-                                dense[r - lo, fi, id_v] = sim_v
-            if config.executor == "tpu":
-                from .ops.classify_tpu import classify_reads_tpu
-                res = classify_reads_tpu(dense, maxs, tax, rank_matrix,
-                                         config.tax_rank, error,
-                                         config.assign_higher)
-            else:
-                res = classify_reads(dense, maxs, tax, rank_matrix,
-                                     config.tax_rank, error,
-                                     config.assign_higher)
-            for t, c in res.counts().items():
-                counts[t] += c
-            _write_csv_block(out, lo, res)
+        if (config.threads > 1 and len(blocks) > 1
+                and config.executor != "tpu"):
+            # Read-parallel classification (the reference's `#pragma omp
+            # parallel for` over reads, src/Classify.cpp:474-477): blocks
+            # run on a thread pool (large-array numpy kernels release the
+            # GIL) and results serialize in read order like the
+            # reference's vOutput drain (Classify.cpp:722-734).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=config.threads) as ex:
+                for lo, res in zip(blocks, ex.map(_block, blocks)):
+                    for t, c in res.counts().items():
+                        counts[t] += c
+                    _write_csv_block(out, lo, res)
+        else:
+            for lo in blocks:
+                res = _block(lo)
+                for t, c in res.counts().items():
+                    counts[t] += c
+                _write_csv_block(out, lo, res)
     timer.report()
     return ClassifySummary(num_reads=num_reads, classified=counts["C"],
                            higher=counts["H"], ambiguous=counts["A"],
