@@ -130,17 +130,19 @@ def _measure_link_bandwidth():
 def _measure_pair_kernel_roofline():
     """On-device pair-kernel throughput: positions/s and HBM fraction.
 
-    Times the production Pallas pair kernel (VMEM-resident chain/occ
-    state, ops/pallas_kernels.pair_hits_pallas) on device-resident
-    data, at the paper workload's dominant window (16).  Two numbers:
+    Times the production Pallas pair kernel at the paper workload's
+    dominant bucket (cap 16: the log-step segmented-scan variant,
+    ops/pallas_kernels._pair_kernel_scan) on a planner-shaped
+    device-resident stream.  Two numbers:
 
     - ``hbm_gbps`` keeps round 3's per-offset traffic model (2 band
       passes x window offsets x ~6 B/position) for scoreboard
       continuity — it is the bandwidth an HBM-streaming formulation
       would need to match this throughput;
     - the kernel's REAL traffic is ~5 B/position total (codes in, i32
-      hits out), so the kernel is compute-bound on the VPU, which is
-      the point of keeping the band state in VMEM.
+      hits out), so the kernel is compute-bound on the VPU; the scan
+      variant cuts the per-position op count ~3.5x vs the band-pass
+      loop (measured 2911 vs 1167 Mpos/s on this chip).
 
     Timing forces a dependent d2h fetch: the relay acks dispatches
     locally, so only a fetched value observes completion.
@@ -152,12 +154,18 @@ def _measure_pair_kernel_roofline():
 
     n = 32 << 20
     window = 16
+    # planner-shaped stream (the scan kernel's structural contract:
+    # copies = read rows then one genome docrun, length <= cap)
+    from tests.test_pallas_kernel import _planner_shaped_stream
+
     rng = np.random.default_rng(1)
-    codes = jax.device_put(rng.integers(0, 256, n, dtype=np.uint8))
-    np.asarray(pair_hits_pallas(codes, jnp.int32(window))[:8])  # compile
+    unit = _planner_shaped_stream(rng, 1 << 20, window)
+    codes = jax.device_put(np.tile(unit, n // len(unit)))
+    np.asarray(pair_hits_pallas(codes, jnp.int32(window),
+                                cap=window)[:8])  # compile
     t0 = time.time()
     for _ in range(3):
-        out = pair_hits_pallas(codes, jnp.int32(window))
+        out = pair_hits_pallas(codes, jnp.int32(window), cap=window)
     np.asarray(out[:8])
     dt = (time.time() - t0) / 3
     pos_per_s = n / dt

@@ -141,22 +141,36 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hits_dispatch(bits, m, dr, gs, sym, window):
+#: Copy-length caps per planner bucket (BUCKET_CAP in csrc) — the static
+#: bound that picks the Pallas kernel variant (scan vs band-pass).
+BUCKET_CAPS = (16, 64, 255)
+
+
+def cap_for_window(window: int) -> int:
+    """Smallest bucket cap covering a known copy-length bound."""
+    for c in BUCKET_CAPS:
+        if window <= c:
+            return c
+    return 255
+
+
+def _hits_dispatch(bits, m, dr, gs, sym, window, cap: int = 255):
     """Pick the pair-hits engine for one decoded chunk.
 
-    The Pallas kernel (ops/pallas_kernels.pair_hits_pallas) keeps the
-    chain/occ state in VMEM across all band offsets and runs ~1.2x the
-    fused XLA loop on TPU (measured 1097 vs 896 Mpos/s at window 16).
-    Its genome-side rows carry garbage counts (symmetric-pair
-    formulation); every caller drops them at scatter time.  Chunk sizes
-    are pow2 >= 65536 or 512K multiples, so the PAIR_TILE divisibility
-    requirement always holds in production.
+    The Pallas kernels (ops/pallas_kernels.pair_hits_pallas) keep the
+    chain/occ state in VMEM; ``cap`` (the chunk bucket's static
+    copy-length bound) selects the log-step scan kernel (cap <= 64) or
+    the band-pass kernel.  Genome-side rows carry garbage counts
+    (symmetric-pair/bitmask formulations); every caller drops them at
+    scatter time.  Chunk sizes are pow2 >= 65536 or 512K multiples, so
+    the PAIR_TILE divisibility requirement always holds in production.
     """
     n = bits.shape[-1]
     from .pallas_kernels import PAIR_TILE, pair_hits_pallas
 
     if _use_pallas() and n % PAIR_TILE == 0:
-        return pair_hits_pallas((bits & 31).astype(jnp.uint8), window)
+        return pair_hits_pallas((bits & 31).astype(jnp.uint8), window,
+                                cap=cap)
     return _pair_hits_core(m, dr, gs, sym, window)
 
 
@@ -206,9 +220,9 @@ def _unpack_rows(rows_w: jnp.ndarray, row_bits: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("row_bits",))
+                   static_argnames=("row_bits", "cap"))
 def _pair_packed_block(sim, rows_w, bits_b, gcol, window, drop,
-                       row_bits: int):
+                       row_bits: int, cap: int = 255):
     """One packed chunk: unpack (pure vector shifts), score, one scatter.
 
     The genome column is constant per copy, so it ships once per copy and
@@ -222,7 +236,7 @@ def _pair_packed_block(sim, rows_w, bits_b, gcol, window, drop,
     m = ((bits >> 2) & 1).astype(bool)
     dr = ((bits >> 3) & 1).astype(bool)
     gs = ((bits >> 4) & 1).astype(bool)
-    hits = _hits_dispatch(bits, m, dr, gs, sym, window)
+    hits = _hits_dispatch(bits, m, dr, gs, sym, window, cap=cap)
     copy_start = ((~m) & (~gs)).astype(jnp.int32)
     cidx = jnp.cumsum(copy_start) - 1
     gc = gcol[cidx].astype(jnp.int32)
@@ -264,9 +278,10 @@ def pair_upload(arrays, chunks):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("row_bits", "fidx"))
+                   static_argnames=("row_bits", "fidx", "cap"))
 def _pair_packed_block_offset_stack(stack, rows_w, bits_b, gcol, window,
-                                    row_base, fidx: int, row_bits: int):
+                                    row_base, fidx: int, row_bits: int,
+                                    cap: int = 255):
     """Row-blocked scatter straight into the (F, B, g_pad) stack.
 
     Avoids per-file block buffers + a jnp.stack copy (which doubles the
@@ -280,7 +295,7 @@ def _pair_packed_block_offset_stack(stack, rows_w, bits_b, gcol, window,
     m = ((bits >> 2) & 1).astype(bool)
     dr = ((bits >> 3) & 1).astype(bool)
     gs = ((bits >> 4) & 1).astype(bool)
-    hits = _hits_dispatch(bits, m, dr, gs, sym, window)
+    hits = _hits_dispatch(bits, m, dr, gs, sym, window, cap=cap)
     copy_start = ((~m) & (~gs)).astype(jnp.int32)
     cidx = jnp.cumsum(copy_start) - 1
     gc = gcol[cidx].astype(jnp.int32)
@@ -296,10 +311,11 @@ def _pair_packed_block_offset_stack(stack, rows_w, bits_b, gcol, window,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("row_bits", "fidx", "n_rows", "gcap"))
+                   static_argnames=("row_bits", "fidx", "n_rows", "gcap",
+                                    "cap"))
 def _pair_packed_scan_class(stack, d_rows, d_bits, d_gcol, wos, bos, gos,
                             wins, row_base, fidx: int, row_bits: int,
-                            n_rows: int, gcap: int):
+                            n_rows: int, gcap: int, cap: int = 255):
     """Replay every same-shape chunk of one (file, row block) in ONE
     dispatch: a lax.scan whose body slices the device-resident stream at
     traced offsets.  The relay charges ~50-100 ms per program launch, so
@@ -318,7 +334,7 @@ def _pair_packed_scan_class(stack, d_rows, d_bits, d_gcol, wos, bos, gos,
         m = ((bits >> 2) & 1).astype(bool)
         dr = ((bits >> 3) & 1).astype(bool)
         gs = ((bits >> 4) & 1).astype(bool)
-        hits = _hits_dispatch(bits, m, dr, gs, sym, win)
+        hits = _hits_dispatch(bits, m, dr, gs, sym, win, cap=cap)
         copy_start = ((~m) & (~gs)).astype(jnp.int32)
         cidx = jnp.cumsum(copy_start) - 1
         gc = gcol[cidx].astype(jnp.int32)
@@ -351,9 +367,9 @@ def pair_score_packed_from_device(stack: jax.Array, dev_arrays, chunks,
         gcap = 4096
         while gcap < gc:
             gcap <<= 1
-        classes.setdefault((n_rows, gcap), []).append(
+        classes.setdefault((n_rows, gcap, BUCKET_CAPS[bucket]), []).append(
             (wo, bo, go, windows[bucket]))
-    for (n_rows, gcap), items in classes.items():
+    for (n_rows, gcap, cap), items in classes.items():
         wos = np.array([i[0] for i in items], np.int32)
         bos = np.array([i[1] for i in items], np.int32)
         gos = np.array([i[2] for i in items], np.int32)
@@ -361,7 +377,7 @@ def pair_score_packed_from_device(stack: jax.Array, dev_arrays, chunks,
         stack = _pair_packed_scan_class(
             stack, d_rows, d_bits, d_gcol, jnp.asarray(wos),
             jnp.asarray(bos), jnp.asarray(gos), jnp.asarray(wins),
-            jnp.int32(row_base), fidx, row_bits, n_rows, gcap)
+            jnp.int32(row_base), fidx, row_bits, n_rows, gcap, cap)
     return stack
 
 
@@ -388,7 +404,8 @@ def pair_score_packed_into(sim: jax.Array, arrays, chunks, windows,
             sim, lax.dynamic_slice_in_dim(d_rows, wo, n_rows // 8 * wpg),
             lax.dynamic_slice_in_dim(d_bits, bo, n_rows // 8 * 5),
             lax.dynamic_slice_in_dim(d_gcol, go, gcap),
-            jnp.int32(windows[bucket]), drop, row_bits)
+            jnp.int32(windows[bucket]), drop, row_bits,
+            BUCKET_CAPS[bucket])
     return sim
 
 

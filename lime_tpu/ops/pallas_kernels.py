@@ -287,21 +287,141 @@ def _pair_kernel(win_ref, codes_hbm, out_ref, pk_s, sems, *,
     out_ref[:] = hits[:, PAIR_HALO:PAIR_HALO + PAIR_SUB]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pair_hits_pallas(codes: jnp.ndarray, window,
+# ---------------------------------------------------------------------------
+# Scan-variant pair kernel: log2(cap) segmented scans instead of O(window)
+# band passes.  Exploits two structural facts of the packed pair streams:
+#
+# 1. a docrun never exceeds the bucket's copy-length cap, so the
+#    occurrence index is a *segmented prefix count* — computable in
+#    ceil(log2(cap)) Hillis-Steele steps on a byte-packed one-hot (4
+#    symbols x 8-bit counts in one i32; docruns <= 255 never carry);
+# 2. genome rows sit at the tail of each copy and (sym, occ) is unique
+#    within a docrun, so a read row has AT MOST ONE matching genome row —
+#    "count matches" degenerates to "does bit (sym, occ) appear in the
+#    copy's genome-key bitmask", a backward segmented OR-scan of
+#    per-symbol occurrence bitmasks, again log2(cap) steps.
+#
+# At cap=16 this is ~70 VPU ops/position vs ~256 for the band-pass loop.
+# cap picks the static bitmask width: 16 -> 2 i32 regs (2 symbols per
+# reg), 64 -> 8 regs; cap 255 keeps the band-pass kernel (32 regs of
+# (8, ext) i32 would pressure VMEM, and bucket-2 rows are rare).
+# ---------------------------------------------------------------------------
+
+
+def _pair_kernel_scan(codes_hbm, out_ref, pk_s, sems, *, cap: int,
+                      interpret: bool):
+    ext = PAIR_SUB + 2 * PAIR_HALO
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        codes_hbm.at[pl.ds(i * PAIR_TILE, PAIR_TILE + 2 * PAIR_HALO)],
+        pk_s, sems)
+    cp.start()
+    cp.wait()
+
+    flat = pk_s[:]
+    pk = jnp.stack([flat[s * PAIR_SUB:s * PAIR_SUB + ext]
+                    for s in range(8)]).astype(jnp.int32)
+    sym = pk & 3
+    m32 = (pk >> 2) & 1
+    dr = (pk >> 3) & 1
+    gs = (pk >> 4) & 1
+
+    if interpret:
+        def rot(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def rot(x, shift):
+            return pltpu.roll(x, shift, axis=1)
+
+    LOG = max(1, (cap - 1).bit_length())
+    n_bits = 16 if LOG <= 4 else 64  # bitmask width per symbol
+
+    # occurrence index: segmented inclusive prefix count of own symbol,
+    # one i32 holding 4 byte-packed counters (no cross-byte carry while
+    # docruns stay <= 255 — the planner's copy cap guarantees it)
+    x = jnp.where(sym == 0, 1,
+                  jnp.where(sym == 1, 1 << 8,
+                            jnp.where(sym == 2, 1 << 16, 1 << 24)))
+    f = dr
+    for k in range(LOG):
+        d = 1 << k
+        x = x + jnp.where(f == 1, rot(x, d), 0)
+        f = f & rot(f, d)
+    cnt = jnp.where(sym == 0, x & 255,
+                    jnp.where(sym == 1, (x >> 8) & 255,
+                              jnp.where(sym == 2, (x >> 16) & 255,
+                                        (x >> 24) & 255)))
+    occ = cnt - 1  # exclusive count = the band-pass kernel's occ
+
+    # genome-key bitmasks: bit (sym, occ) set on genome rows
+    if n_bits == 16:
+        n_regs = 2
+        base = jnp.left_shift(1, occ + ((sym & 1) << 4))
+        sels = [(sym >> 1) == r for r in range(n_regs)]
+        reg_of = sym >> 1
+    else:
+        n_regs = 8
+        base = jnp.left_shift(1, occ & 31)
+        sels = [(sym == (r >> 1)) & ((occ >> 5) == (r & 1))
+                for r in range(n_regs)]
+        reg_of = (sym << 1) | (occ >> 5)
+    gs_b = gs == 1
+    gm = [jnp.where(gs_b & s, base, 0) for s in sels]
+
+    # backward segmented OR-scan over the copy (segment flag: row i+1
+    # continues the copy iff its m bit is set)
+    F = rot(m32, ext - 1)  # m at i+1
+    d = 1
+    for _ in range(LOG):
+        fwd_sel = F == 1
+        gm = [a | jnp.where(fwd_sel, rot(a, ext - d), 0) for a in gm]
+        F = F & rot(F, ext - d)
+        d <<= 1
+
+    a_sel = gm[0]
+    for r in range(1, n_regs):
+        a_sel = jnp.where(reg_of == r, gm[r], a_sel)
+    hits = ((a_sel & base) != 0).astype(jnp.int32)
+    out_ref[:] = hits[:, PAIR_HALO:PAIR_HALO + PAIR_SUB]
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def pair_hits_pallas(codes: jnp.ndarray, window, cap: int = 255,
                      interpret: bool = False) -> jnp.ndarray:
     """Per-row genome-match counts over a pair-stream code array.
 
     ``codes`` is a 1-D u8 array of unpacked 5-bit row codes whose length
     is a multiple of PAIR_TILE (planner chunks are pow2 >= 65536 or 512K
     multiples, so this always holds); ``window`` a traced i32 <= 255.
-    Semantics identical to ops.pair_score._pair_hits_core.
+    ``cap`` is the static copy-length bound of the stream's bucket
+    (BUCKET_CAP in the planner): cap <= 64 selects the log-step scan
+    kernel, larger caps the band-pass kernel.  Semantics identical to
+    ops.pair_score._pair_hits_core on read-side rows (genome-side rows
+    carry garbage that every caller's scatter drops).
     """
     n = codes.shape[0]
     padded = jnp.pad(codes, (PAIR_HALO, PAIR_HALO))
-    win = jnp.asarray(window, jnp.int32).reshape(1, 1)
     ext = PAIR_SUB + 2 * PAIR_HALO
 
+    if cap <= 64:
+        out = pl.pallas_call(
+            functools.partial(_pair_kernel_scan, cap=cap,
+                              interpret=interpret),
+            grid=(n // PAIR_TILE,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((8, PAIR_SUB), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n // PAIR_SUB, PAIR_SUB),
+                                           jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((PAIR_TILE + 2 * PAIR_HALO,), jnp.uint8),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(padded)
+        return out.reshape(n)
+
+    win = jnp.asarray(window, jnp.int32).reshape(1, 1)
     out = pl.pallas_call(
         functools.partial(_pair_kernel, interpret=interpret),
         grid=(n // PAIR_TILE,),

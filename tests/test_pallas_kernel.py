@@ -152,3 +152,61 @@ def test_pair_hits_pallas_matches_core():
         got = np.asarray(pair_hits_pallas(jnp.asarray(codes), w,
                                           interpret=interpret))
         assert np.array_equal(ref[~gs_np], got[~gs_np]), window
+
+
+def _planner_shaped_stream(rng, n, cap):
+    """Synthesize codes with the packed planner's structural invariants:
+    each copy = read rows (1+ docruns) then ONE genome docrun (gs=1);
+    copy length <= cap; a copy's first row is read-side with m=0."""
+    codes = np.zeros(n, np.uint8)
+    i = 0
+    while i < n:
+        n_read = int(rng.integers(1, max(2, cap // 2)))
+        n_gen = int(rng.integers(1, cap - n_read + 1)) if cap > n_read \
+            else 1
+        copy = []
+        for j in range(n_read):
+            sym = int(rng.integers(0, 4))
+            dr = 0 if (j == 0 or rng.random() < 0.3) else 1
+            copy.append(sym | (0 if j else 0) | (dr << 3))
+        for j in range(n_gen):
+            sym = int(rng.integers(0, 4))
+            dr = 0 if j == 0 else 1
+            copy.append(sym | (dr << 3) | (1 << 4))
+        for j, c in enumerate(copy[:n - i]):
+            codes[i + j] = c | ((1 << 2) if j else 0)  # m bit
+        i += len(copy)
+    return codes
+
+
+@pytest.mark.parametrize("cap", [16, 64])
+def test_pair_hits_pallas_scan_matches_core(cap):
+    """Log-step scan kernel vs the XLA core on planner-shaped streams.
+
+    The scan formulation relies on the packed planner's invariants
+    (genome rows at the copy tail, one genome docrun per copy, copy
+    length <= the bucket cap), which every production stream satisfies
+    by construction; read-side rows must match the band-pass core
+    exactly, genome-side rows are scatter-dropped garbage.
+    """
+    import os
+
+    import jax
+
+    from lime_tpu.ops.pair_score import _pair_hits_core
+    from lime_tpu.ops.pallas_kernels import PAIR_TILE, pair_hits_pallas
+
+    interpret = jax.default_backend() != "tpu" \
+        or not os.environ.get("LIME_TEST_TPU")
+    rng = np.random.default_rng(100 + cap)
+    n = 2 * PAIR_TILE
+    codes = _planner_shaped_stream(rng, n, cap)
+    w = jnp.int32(cap)
+    m = jnp.asarray(((codes >> 2) & 1).astype(bool))
+    dr = jnp.asarray(((codes >> 3) & 1).astype(bool))
+    gs_np = ((codes >> 4) & 1).astype(bool)
+    sym = jnp.asarray((codes & 3).astype(np.int8))
+    ref = np.asarray(_pair_hits_core(m, dr, jnp.asarray(gs_np), sym, w))
+    got = np.asarray(pair_hits_pallas(jnp.asarray(codes), w, cap=cap,
+                                      interpret=interpret))
+    assert np.array_equal(ref[~gs_np], got[~gs_np])
