@@ -36,6 +36,9 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
                 head = f.readline()
                 if not head:
                     break
+                if not head.rstrip(b"\r\n"):
+                    continue  # blank lines between records (trailing
+                    # newlines from editors/concatenation) are not headers
                 seq = f.readline().rstrip(b"\r\n")
                 plus = f.readline()
                 if not plus.startswith(b"+"):

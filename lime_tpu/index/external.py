@@ -19,12 +19,18 @@ self-containedly:
    so the block cut should keep long near-identical documents (genome
    sets) within one block; read-only cross sections converge in
    ~read_len passes;
-3. the merged LCP is one file-backed Kasai pass over (text, SA)
+3. the merged LCP is one Kasai pass over (text, SA) read from disk
    (native.lime_kasai_files), with the builder's terminator semantics
    (extension never crosses a terminator).
 
-Peak RAM: max(block SA-IS ~40 B/position * block_positions,
-merge 2 B/row, Kasai 13 B/position) — all under ``mem_budget``.
+Peak RAM: the block SA-IS phase (~40 B/position x block_positions) and
+the merge (~2 B/merged row) stay under ``mem_budget``; the final Kasai
+pass however materializes text+SA+rank+LCP = 13 B/position of the WHOLE
+collection in RAM (its access pattern — random sa/rank/text probes —
+does not stream, unlike eGap's fully external LCP).  The build FAILS
+FAST with a MemoryError before any block work when that floor exceeds
+the machine (see _check_kasai_floor), rather than OOMing after hours of
+merging; ``max_lcp`` (--trlcp) does not lower it.
 """
 
 from __future__ import annotations
@@ -106,6 +112,22 @@ def build_index_files_external(fasta_path: str, seqs: Sequence[bytes],
         raise RuntimeError("external build requires the native runtime")
     lib = native._load()
     lens = [len(s) for s in seqs]
+    _check_kasai_floor(sum(lens) + len(lens))
+    # the merge's bucket layout pins the '$' (0x24) terminator region;
+    # any sequence byte below it (digits, control chars, stray
+    # whitespace from unvalidated input) would silently clobber that
+    # region and corrupt the merged index — reject it up front (the
+    # in-RAM builder orders terminators below all symbols by
+    # construction, so the two paths would otherwise diverge)
+    for i, s in enumerate(seqs):
+        if len(s):
+            lo = int(np.frombuffer(s, np.uint8).min())
+            if lo <= 0x24:
+                raise ValueError(
+                    f"sequence {i} contains byte 0x{lo:02x} <= '$' "
+                    "(0x24): not a nucleotide/IUPAC code — clean the "
+                    "input (the external merge reserves the low byte "
+                    "range for terminators)")
     ends = plan_blocks(lens, mem_budget)
     own_tmp = workdir is None
     if own_tmp:
@@ -182,9 +204,54 @@ def build_index_files_external(fasta_path: str, seqs: Sequence[bytes],
                 f.seek(pos)
                 np.minimum(chunk, np.uint32(max_lcp)).tofile(f)
 
-    os.replace(prefix + ".ebwt", fasta_path + ".ebwt")
-    os.replace(prefix + ".da", fasta_path + ".da")
-    os.replace(prefix + ".lcp", fasta_path + ".lcp")
+    for ext in (".ebwt", ".da", ".lcp"):
+        try:
+            os.replace(prefix + ext, fasta_path + ext)
+        except OSError:
+            # workdir on another filesystem (scratch SSD): copy+remove
+            import shutil
+
+            shutil.move(prefix + ext, fasta_path + ext)
     if own_tmp:
         tmp.cleanup()
+    else:
+        # caller-provided workdir: clean the block intermediates too
+        for name in os.listdir(workdir):
+            if name.startswith("xb."):
+                try:
+                    os.remove(os.path.join(workdir, name))
+                except OSError:
+                    pass
     return int(passes)
+
+
+def _check_kasai_floor(total_positions: int) -> None:
+    """Fail fast when the final Kasai pass cannot fit this machine.
+
+    lime_kasai_files needs 13 B/position (text u8 + sa/rank/lcp u32) of
+    the WHOLE collection in RAM; discovering that after hours of block
+    builds and merge passes would waste the entire run.
+    """
+    need = _KASAI_BYTES_PER_POS * total_positions
+    try:
+        avail = (os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+    except (ValueError, OSError):  # pragma: no cover - exotic platforms
+        return
+    # RLIMIT_AS (the test harness's budget enforcement) caps us harder
+    # than physical memory when set
+    try:
+        import resource
+
+        cap = resource.getrlimit(resource.RLIMIT_AS)[0]
+        if cap != resource.RLIM_INFINITY:
+            avail = min(avail, cap)
+    except Exception:  # pragma: no cover
+        pass
+    if need > avail:
+        raise MemoryError(
+            f"the final LCP (Kasai) pass needs {need / 1e9:.1f} GB "
+            f"({_KASAI_BYTES_PER_POS} B/position x {total_positions:,} "
+            f"positions) but only {avail / 1e9:.1f} GB is available — "
+            "the blockwise builder bounds the SA/merge phases, not the "
+            "LCP pass; use a machine with more RAM or split the "
+            "collection")

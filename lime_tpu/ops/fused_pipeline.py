@@ -666,7 +666,16 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             def job_warm_classify():
                 planes = tuple(jnp.zeros((r_pad, g_pad), dev_dtype)
                                for _ in range(F))
-                e0 = jnp.zeros(0, jnp.int32)
+                if host_num == 256:
+                    # all-host mode ships scores as COO scatters into the
+                    # planes; the classify call sees no corrections
+                    e0 = jnp.zeros(0, jnp.int32)
+                else:
+                    # any rescued cluster pads corrections to k >= 256 —
+                    # a different executable; warm THAT shape or the
+                    # multi-second per-program relay load lands on the
+                    # classify critical path (file index F = drop rows)
+                    e0 = jnp.full(256, F, jnp.int32)
                 return _classify_program_planes(
                     planes, e0, e0, e0, e0, taxd, rankd, validd, errord,
                     normd, betad, F, config.tax_rank,

@@ -699,10 +699,10 @@ def _run_sharded_multiprocess(collections, output_path: str,
         raise ValueError("sharded run takes 2 or 4 collections")
     lineage = read_lineage(lineage_path)
     n_shards = mesh.shape["sp"] * mesh.shape["dp"]
-    if n_shards % nproc:
-        raise ValueError("device count must divide evenly across "
-                         "processes")
-    local_shards = n_shards // nproc
+    # any process/device split works: every process contributes
+    # local_shards shards of a globally agreed uniform shard length (the
+    # reference accepts any thread count, src/ClusterLCP.cpp:139-141)
+    local_shards = int(mesh.local_mesh.devices.size)
     g_pad = max(128, -(-num_genomes // 128) * 128)
 
     packs, docs = [], []
@@ -727,14 +727,17 @@ def _run_sharded_multiprocess(collections, output_path: str,
                 corr_local.append((np.full(len(rows), fi, np.int32),
                                    rows, cols, vals))
 
-    # agree on the global layout: window max + uniform local block length
+    # agree on the global layout: window max + a uniform SHARD length
+    # (local block lengths then scale with each process's device count,
+    # so uneven processes-per-device splits work)
     local_len = max(len(p) for p in packs)
     sizes = np.asarray(multihost_utils.process_allgather(
-        np.array([local_len, windows], np.int64)))
-    L_loc = int(sizes[:, 0].max())
+        np.array([local_len, windows, local_shards], np.int64)))
     windows = int(sizes[:, 1].max())
-    L_loc = max(L_loc, local_shards * _HALO_L_SPMD)
-    L_loc = -(-L_loc // local_shards) * local_shards
+    shard_len = max(_HALO_L_SPMD,
+                    int(np.max(-(-sizes[:, 0] // sizes[:, 2]))))
+    assert int(sizes[:, 2].sum()) == n_shards
+    L_loc = shard_len * local_shards
     packed = np.zeros((F, L_loc), np.uint8)
     doc = np.full((F, L_loc), num_reads + num_genomes, np.int32)
     for fi in range(F):
@@ -773,9 +776,9 @@ def _run_sharded_multiprocess(collections, output_path: str,
 
     stream_sharding = NamedSharding(mesh, P(None, ("sp", "dp")))
     packed_g = jax.make_array_from_process_local_data(
-        stream_sharding, packed, (F, L_loc * nproc))
+        stream_sharding, packed, (F, shard_len * n_shards))
     doc_g = jax.make_array_from_process_local_data(
-        stream_sharding, doc, (F, L_loc * nproc))
+        stream_sharding, doc, (F, shard_len * n_shards))
 
     step = make_sharded_pipeline(
         mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,
@@ -1144,16 +1147,19 @@ def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
         raise ValueError("sharded run takes 2 or 4 collections")
     lineage = read_lineage(lineage_path)
     n_shards = mesh.shape["sp"] * mesh.shape["dp"]
-    if n_shards % nproc:
-        raise ValueError("device count must divide evenly across "
-                         "processes")
-    local_shards = n_shards // nproc
+    # any process/mesh combination works (the reference accepts any
+    # thread count, src/ClusterLCP.cpp:139-141): when a process's cells
+    # cover every dp owner its chunks stay process-local; otherwise the
+    # (small) chunk buffers are exchanged so every process can fill its
+    # cells of the global round-robin assignment.  Cells are addressed by
+    # mesh flat position (NOT assumed process-contiguous — a mesh whose
+    # process blocks are not contiguous subcubes is still usable because
+    # the global arrays are assembled per device below).
+    flat_devs = list(mesh.devices.flat)
+    owned = [c for c, d in enumerate(flat_devs)
+             if d.process_index == pid]
+    local_shards = len(owned)
     sp, dp = mesh.shape["sp"], mesh.shape["dp"]
-    if local_shards % dp:
-        raise ValueError(
-            "dp-sliced pair engine needs each process's device block to "
-            "cover whole dp groups (local_shards % dp == 0); reshape the "
-            "mesh or the process count")
     g_pad = max(128, -(-num_genomes // 128) * 128)
     rows_local = pair_rows_local(num_reads, dp)
     if (rows_local + 1) * g_pad > 2**31 - 1:
@@ -1193,43 +1199,117 @@ def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
                 corr_local.append((np.full(len(rows), fi, np.int32),
                                    rows, cols, vals))
 
-    # agree on uniform chunk shapes + the per-cell chunk count
+    # agree on uniform chunk shapes + the per-cell chunk count; each
+    # process's global cell offset comes from the allgathered local
+    # shard counts (uneven processes are allowed)
     flat_iter = [c for oc in own_chunks for c in oc]
     cw_loc = max((len(r) for _, _, r, _, _ in flat_iter), default=8)
     gcap_loc = 4096
     for _, _, _, _, g in flat_iter:
         while gcap_loc < len(g):
             gcap_loc <<= 1
-    local_sp = local_shards // dp  # sp cells this process owns per owner
-    cell_loc = max(-(-len(oc) // local_sp) for oc in own_chunks)
+    ls_all = np.asarray(multihost_utils.process_allgather(
+        np.array([local_shards], np.int64))).reshape(-1)
+    assert int(ls_all.sum()) == n_shards
+    cell_slot = {c: b for b, c in enumerate(owned)}
+    owned_by_owner = {j: [c for c in owned if c % dp == j]
+                      for j in range(dp)}
+    import os as _os
+
+    use_exchange = (any(not v for v in owned_by_owner.values())
+                    or _os.environ.get("LIME_FORCE_EXCHANGE") == "1")
+    if use_exchange:
+        cell_loc = 0  # the exchange path agrees on n_cell globally below
+    else:
+        cell_loc = max(-(-len(own_chunks[j]) // len(owned_by_owner[j]))
+                       for j in range(dp))
     dims = np.asarray(multihost_utils.process_allgather(np.array(
         [cw_loc, gcap_loc, cell_loc], np.int64)))
     cw = int(dims[:, 0].max())
     gcap = int(dims[:, 1].max())
-    n_cell = max(1, int(dims[:, 2].max()))
-    n_loc = n_cell * local_shards
     cb = cw // (W // 4) * 5
 
-    # this process's contiguous slice of the global chunk axis covers
-    # cells [pid*local_shards, (pid+1)*local_shards); cell c has dp
-    # coordinate c % dp, so owner-j chunks go to local cells with
-    # dp coordinate j (round-robin over this process's sp cells)
-    rows_w = np.zeros((n_loc, cw), np.uint32)
-    bits_b = np.tile(_PAD_GROUP_BITS, (n_loc, cb // 5))
-    gcol = np.zeros((n_loc, gcap), np.uint16)
-    cfile = np.full(n_loc, F, np.int32)
-    cwin = np.ones(n_loc, np.int32)
-    cell0 = pid * local_shards
-    for owner, oc in enumerate(own_chunks):
-        cells = [c - cell0 for c in range(cell0, cell0 + local_shards)
-                 if c % dp == owner]
-        for k, (fi, win, r, b, g) in enumerate(oc):
-            i = cells[k % len(cells)] * n_cell + k // len(cells)
-            rows_w[i, :len(r)] = r
-            bits_b[i, :len(b)] = b
-            gcol[i, :len(g)] = g
-            cfile[i] = fi
-            cwin[i] = win
+    if use_exchange:
+        # Some dp owner has no cell on this process (local_shards % dp
+        # != 0): allgather every process's chunk buffers and rebuild the
+        # global per-owner lists in (process, emission) order, so every
+        # process can fill its own slice of the deterministic global
+        # round-robin assignment.  Memory: the whole stream on every
+        # host — the aligned configuration keeps chunks process-local.
+        wpg = W // 4
+        metas, rp, bp, gp = [], [], [], []
+        for owner, oc in enumerate(own_chunks):
+            for fi, win, r, b, g in oc:
+                metas.append((owner, fi, win, len(r) // wpg * 8, len(g)))
+                rp.append(r)
+                bp.append(b)
+                gp.append(g)
+        meta_l = np.asarray(metas, np.int64).reshape(-1)
+        r_l = (np.concatenate(rp) if rp else np.empty(0, np.uint32))
+        b_l = (np.concatenate(bp) if bp else np.empty(0, np.uint8))
+        g_l = (np.concatenate(gp) if gp else np.empty(0, np.uint16))
+        caps = np.asarray(multihost_utils.process_allgather(np.array(
+            [len(meta_l), len(r_l), len(b_l), len(g_l)], np.int64)))
+        meta_g = _allgather_np(meta_l, int(caps[:, 0].max()) + 1, -1)
+        r_g = _allgather_np(r_l, int(caps[:, 1].max()) + 1, 0)
+        b_g = _allgather_np(b_l, int(caps[:, 2].max()) + 1, 0)
+        g_g = _allgather_np(g_l, int(caps[:, 3].max()) + 1, 0)
+        glob_chunks = [[] for _ in range(dp)]
+        for p in range(nproc):
+            ro = bo = go = 0
+            pm = meta_g[p]
+            for x in range(0, len(pm), 5):
+                if pm[x] < 0:
+                    break
+                owner, fi, win, n_rows, lg = (int(v)
+                                              for v in pm[x:x + 5])
+                lr, lb = n_rows // 8 * wpg, n_rows // 8 * 5
+                glob_chunks[owner].append(
+                    (fi, win, r_g[p][ro:ro + lr], b_g[p][bo:bo + lb],
+                     g_g[p][go:go + lg]))
+                ro += lr
+                bo += lb
+                go += lg
+        n_cell = max(1, max(-(-len(oc) // sp) for oc in glob_chunks))
+        n_loc = n_cell * local_shards
+        rows_w = np.zeros((n_loc, cw), np.uint32)
+        bits_b = np.tile(_PAD_GROUP_BITS, (n_loc, cb // 5))
+        gcol = np.zeros((n_loc, gcap), np.uint16)
+        cfile = np.full(n_loc, F, np.int32)
+        cwin = np.ones(n_loc, np.int32)
+        for owner, oc in enumerate(glob_chunks):
+            cells = [c for c in range(n_shards) if c % dp == owner]
+            for k, (fi, win, r, b, g) in enumerate(oc):
+                c = cells[k % len(cells)]
+                if c not in cell_slot:
+                    continue
+                i = cell_slot[c] * n_cell + k // len(cells)
+                rows_w[i, :len(r)] = r
+                bits_b[i, :len(b)] = b
+                gcol[i, :len(g)] = g
+                cfile[i] = fi
+                cwin[i] = win
+    else:
+        n_cell = max(1, int(dims[:, 2].max()))
+        n_loc = n_cell * local_shards
+        # cell c has dp coordinate c % dp, so owner-j chunks go to this
+        # process's cells with dp coordinate j (round-robin); local row
+        # block b of the per-device assembly below is owned[b]'s shard
+        rows_w = np.zeros((n_loc, cw), np.uint32)
+        bits_b = np.tile(_PAD_GROUP_BITS, (n_loc, cb // 5))
+        gcol = np.zeros((n_loc, gcap), np.uint16)
+        cfile = np.full(n_loc, F, np.int32)
+        cwin = np.ones(n_loc, np.int32)
+        for owner, oc in enumerate(own_chunks):
+            cells = owned_by_owner[owner]
+            for k, (fi, win, r, b, g) in enumerate(oc):
+                i = (cell_slot[cells[k % len(cells)]] * n_cell
+                     + k // len(cells))
+                rows_w[i, :len(r)] = r
+                bits_b[i, :len(b)] = b
+                gcol[i, :len(g)] = g
+                cfile[i] = fi
+                cwin[i] = win
 
     if corr_local:
         lf = np.concatenate([c[0] for c in corr_local])
@@ -1259,11 +1339,17 @@ def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
     valid_t = np.arange(g_pad) < num_genomes
 
     chunk_sharding = NamedSharding(mesh, P(("sp", "dp")))
-    n_ch = n_loc * nproc
+    n_ch = n_cell * n_shards
 
     def glob(x):
-        return jax.make_array_from_process_local_data(
-            chunk_sharding, x, (n_ch,) + x.shape[1:])
+        # per-device shard assembly: no contiguous-subcube requirement
+        # on the process->mesh placement (make_array_from_process_local
+        # _data and mesh.local_mesh both impose one)
+        shards = [jax.device_put(x[b * n_cell:(b + 1) * n_cell],
+                                 flat_devs[c])
+                  for b, c in enumerate(owned)]
+        return jax.make_array_from_single_device_arrays(
+            (n_ch,) + x.shape[1:], chunk_sharding, shards)
 
     step = make_pair_sharded_pipeline(
         mesh, num_files=F, num_reads=num_reads, num_refs=num_genomes,

@@ -172,3 +172,41 @@ def test_wide_db_beyond_u16_columns(tmp_path, monkeypatch):
     run_paired(cols, b, len(reads1), n_genomes, lineage, L,
                LimeConfig(executor="tpu", fused=True, host_frac=1.0))
     assert open(a).read() == open(b).read()
+
+
+def test_fastq_trailing_blank_lines(tmp_path):
+    """A trailing newline (editors, concatenation) must not be parsed as
+    a record header (round-4 advisory finding)."""
+    from lime_tpu.formats.fasta import read_fasta
+
+    p = tmp_path / "r.fastq"
+    p.write_bytes(b"@r1\nACGT\n+\nIIII\n\n@r2\nTTTT\n+\nIIII\n\n\n")
+    names, seqs = read_fasta(str(p))
+    assert names == ["r1", "r2"]
+    assert seqs == [b"ACGT", b"TTTT"]
+
+
+def test_external_build_rejects_low_bytes(tmp_path):
+    """Sequence bytes <= '$' (0x24) would clobber the external merge's
+    pinned terminator region; they must be rejected up front."""
+    import pytest
+
+    from lime_tpu import native
+    from lime_tpu.index.external import build_index_files_external
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError, match="0x0a"):
+        build_index_files_external(str(tmp_path / "x.fasta"),
+                                   [b"ACGT\nACGT", b"ACGT"])
+
+
+def test_kasai_floor_fails_fast():
+    """An external build whose final LCP pass cannot fit RAM must fail
+    BEFORE block building (round-4 advisory finding)."""
+    import pytest
+
+    from lime_tpu.index.external import _check_kasai_floor
+
+    with pytest.raises(MemoryError, match="Kasai"):
+        _check_kasai_floor(1 << 50)
