@@ -210,3 +210,32 @@ def test_pair_hits_pallas_scan_matches_core(cap):
     got = np.asarray(pair_hits_pallas(jnp.asarray(codes), w, cap=cap,
                                       interpret=interpret))
     assert np.array_equal(ref[~gs_np], got[~gs_np])
+
+
+@pytest.mark.parametrize("cap", [16, 64])
+def test_pair_hits_scan_vs_vectorized_oracle_large(cap):
+    """Production-size cross-check: 8 tiles of planner-shaped stream vs
+    the vectorized numpy oracle (round 4's sequential oracle capped
+    these sizes; PAIR_TILE-boundary edge cases now get real coverage)."""
+    import os
+
+    import jax
+
+    from lime_tpu.ops.pair_score import pair_hits_host
+    from lime_tpu.ops.pallas_kernels import PAIR_TILE, pair_hits_pallas
+
+    interpret = jax.default_backend() != "tpu" \
+        or not os.environ.get("LIME_TEST_TPU")
+    rng = np.random.default_rng(200 + cap)
+    n = 8 * PAIR_TILE
+    codes = _planner_shaped_stream(rng, n, cap)
+    # oracle packing: bit6 = m, bit5 = dr, bit4 = gs, bits 0-3 = sym
+    packed = ((codes & 3)
+              | (((codes >> 3) & 1) << 5)
+              | (((codes >> 4) & 1) << 4)
+              | (((codes >> 2) & 1) << 6)).astype(np.uint8)
+    want = pair_hits_host(packed)
+    got = np.asarray(pair_hits_pallas(jnp.asarray(codes), jnp.int32(cap),
+                                      cap=cap, interpret=interpret))
+    gs_np = ((codes >> 4) & 1).astype(bool)
+    assert np.array_equal(want[~gs_np], got[~gs_np])
