@@ -132,6 +132,18 @@ def cluster_bwt(fasta_path: str, read_len: int,
                 sim = score_clusters(p_start, lens, np.asarray(da),
                                      None if ebwt is None else np.asarray(ebwt),
                                      meta.num_reads, meta.num_genomes, config)
+    if os.environ.get("LIME_DUMP_SIM") == "1":
+        # runtime equivalent of the reference's SMALL=1 build: the full
+        # SimArray as tab-separated ints on stdout
+        # (src/ClusterBWT_DA.cpp:672-681) — inspection aid for tiny runs
+        import sys as _sys
+
+        w = _sys.stdout.write
+        w("***FINAL***\n")
+        for row in np.asarray(sim):
+            w("\t".join(str(int(v)) for v in row))
+            w("\t\n")
+        w("***********\n")
     with timer.phase("write"):
         norm_rows = normalize_scores(sim, read_len, meta.alpha)
         res_prefix = fasta_path + ".res"

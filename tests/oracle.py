@@ -80,6 +80,10 @@ class OracleBinaries:
             ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 0}, False),
             ("ClusterBWT_DA.cpp", {"BIN": 0, "EBWT": 1}, False),
             ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 1}, True),
+            # SMALL=1: the full-SimArray debug dump (a bare #ifndef in
+            # ClusterBWT_DA.cpp:20, so a plain -D flag works)
+            ("ClusterBWT_DA.cpp", {"BIN": 1, "EBWT": 1, "SMALL": 1},
+             False),
             ("Classify.cpp", {"BIN": 1, "HIGHER": 0}, False),
             ("Classify.cpp", {"BIN": 1, "HIGHER": 1}, False),
             ("Classify.cpp", {"BIN": 0, "HIGHER": 0}, False),

@@ -95,3 +95,40 @@ def test_intact_lineage_identical_to_oracle(dataset, scored_collections,
              ours_csv, dataset.lineage_path, LimeConfig(executor="host"))
     with open(ref_csv) as f1, open(ours_csv) as f2:
         assert f1.read() == f2.read()
+
+
+def test_sim_dump_matches_reference_small_build(tmp_path, monkeypatch,
+                                                capsys):
+    """LIME_DUMP_SIM=1 reproduces the reference's SMALL=1 full-SimArray
+    stdout dump byte for byte (src/ClusterBWT_DA.cpp:672-681) — the
+    runtime equivalent of that compile-time debug build."""
+    import pytest
+
+    from lime_tpu import native
+    from lime_tpu.config import LimeConfig
+    from lime_tpu.pipeline import cluster_bwt, cluster_lcp
+    from tests.oracle import OracleBinaries
+    from tests.synth import make_dataset
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    ds = make_dataset(str(tmp_path), num_pairs=40, read_len=60,
+                      genome_lens=(2000, 1500), seed=13)
+    col = ds.collections[0]
+    oracle = OracleBinaries.build()
+    oracle.cluster_lcp(col, ds.num_reads, ds.num_genomes, 16)
+    out = oracle._run(
+        "ClusterBWT_DA_BIN1_EBWT1_SMALL1",
+        [col, ds.read_len, 0.25, 1],
+        cwd=str(tmp_path))
+    lo = out.index("***FINAL***")
+    hi = out.index("***********", lo) + len("***********\n")
+    want = out[lo:hi]
+
+    cluster_lcp(col, ds.num_reads, ds.num_genomes, LimeConfig())
+    monkeypatch.setenv("LIME_DUMP_SIM", "1")
+    cluster_bwt(col, ds.read_len, LimeConfig(executor="host"))
+    got = capsys.readouterr().out
+    lo = got.index("***FINAL***")
+    hi = got.index("***********", lo) + len("***********\n")
+    assert got[lo:hi] == want
