@@ -1022,8 +1022,29 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     block = _classify_block_for(num_reads)
     bytes_per_row = F * g_pad * (4 if wide else 1) * 2  # stack + slack
     B = max(block, _hbm_budget() // bytes_per_row // block * block)
-    n_blocks = -(-(num_reads + 1) // B)
     f_dim = (4 if config.use_ebwt else 1) * K
+
+    # Device-resident stream budget: at the full setB2 shape the four
+    # collections' packed streams (~4.4 B/surviving row at W=28) exceed
+    # this chip's HBM.  The planner's dp-slicing re-emits every copy per
+    # read-row OWNER, so the sweep runs in n_pass owner passes: upload
+    # only owner j's chunks, sweep only owner j's row range, free, next
+    # — stream residency is bounded at ~total/n_pass while the wire
+    # still moves each byte once.
+    import os as _os0
+
+    W_est = native.row_bits_for(num_reads)
+    stream_budget = int(_os0.environ.get("LIME_STREAM_BUDGET", 7 << 30))
+    est_bytes = int(sum(
+        _os0.path.getsize(c + ".lcp") // 4 * 0.6 * (W_est / 8 + 0.925)
+        for c in collections))
+    n_pass = max(1, -(-est_bytes // stream_budget))
+    if n_pass > 1:
+        from ..parallel.sharded import pair_rows_local
+
+        rows_local = pair_rows_local(num_reads, n_pass)
+    else:
+        rows_local = num_reads + 1
 
     def load(fasta):
         # memmaps: planner IO overlaps the scan (see the single-block
@@ -1072,11 +1093,16 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
              bad_l) = native.plan_pairs_packed(
                 lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
                 _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
-                num_refs=num_genomes, host_num=host_num)
+                num_refs=num_genomes, host_num=host_num,
+                dp=n_pass, rows_local=rows_local if n_pass > 1 else 0)
         nb = sum(a.nbytes for a in pk_arrays)
-        with timer.phase("dispatch", nbytes=nb):
-            plans.append((pair_upload(pk_arrays, chunks), chunks, windows,
-                          row_bits))
+        if n_pass == 1:
+            with timer.phase("dispatch", nbytes=nb):
+                plans.append((pair_upload(pk_arrays, chunks), chunks,
+                              windows, row_bits))
+        else:
+            # host-resident plan; owner subsets upload per sweep pass
+            plans.append((pk_arrays, chunks, windows, row_bits))
         if len(den_s):
             d_chunks, left_s, left_l = pack_chunks(
                 den_s, den_l, da, ebwt, num_reads, num_genomes, g_pad)
@@ -1144,16 +1170,39 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     while corr_k < corr_total:
         corr_k <<= 1
 
+    def _owner_subset(pk_arrays, chunks, owner, row_bits):
+        """Concatenated planner buffers + remapped metas for one owner."""
+        rows_all, bits_all, gcol_all = pk_arrays
+        wpg = row_bits // 4
+        rs, bs, gs_, meta2 = [], [], [], []
+        wo2 = bo2 = go2 = 0
+        for b, own, n_rows, wo, bo, go, gc in chunks:
+            if own != owner:
+                continue
+            lw, lb = n_rows // 8 * wpg, n_rows // 8 * 5
+            rs.append(rows_all[wo:wo + lw])
+            bs.append(bits_all[bo:bo + lb])
+            gs_.append(gcol_all[go:go + gc])
+            meta2.append((b, own, n_rows, wo2, bo2, go2, gc))
+            wo2 += lw
+            bo2 += lb
+            go2 += gc
+        arrays2 = (
+            np.concatenate(rs) if rs else np.empty(0, np.uint32),
+            np.concatenate(bs) if bs else np.empty(0, np.uint8),
+            np.concatenate(gs_) if gs_ else np.empty(0, np.uint16))
+        return arrays2, meta2
+
     out_t, out_x, out_s = [], [], []
-    for kb in range(n_blocks):
-        base = kb * B
+
+    def do_block(base, plans_pass, hi_rows):
         with timer.phase("block_score"):
             # one (F, B, g_pad) accumulator, scored in place per file —
             # per-file buffers + jnp.stack would transiently double the
             # stack's HBM (OOM at setB2 scale)
             stackd = jnp.zeros((F, B, g_pad), dev_dtype)
             for fi in range(F):
-                dev_arrays, chunks, windows, row_bits = plans[fi]
+                dev_arrays, chunks, windows, row_bits = plans_pass[fi]
                 stackd = pair_score_packed_from_device(
                     stackd, dev_arrays, chunks, windows, row_bits, base,
                     fi)
@@ -1212,12 +1261,46 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
                 validd, error, norm, beta, F, config.tax_rank,
                 config.assign_higher, not wide, block))
         with timer.phase("block_fetch"):
-            hi = min(B, num_reads - base)
+            # clamp to the owner pass's row range: a block may overrun
+            # it (B need not divide rows_local) and the overrun rows are
+            # re-scored completely in the next pass
+            hi = min(B, num_reads - base, hi_rows - base)
             if hi > 0:
                 t_h, x_h, s_h = _unpack_triplet(np.asarray(packed_res))
                 out_t.append(t_h[:hi])
                 out_x.append(x_h[:hi])
                 out_s.append(s_h[:hi])
+
+    for owner in range(n_pass):
+        lo = owner * rows_local
+        hi_rows = min((owner + 1) * rows_local, num_reads + 1)
+        if lo >= hi_rows:
+            continue
+        if n_pass == 1:
+            plans_pass = plans
+        else:
+            # upload only this owner's chunks; the previous pass's
+            # device arrays die here, so stream residency stays at
+            # ~total/n_pass
+            plans_pass = []
+            up_nb = 0
+            for pk_arrays, chunks, windows, row_bits in plans:
+                arrays2, meta2 = _owner_subset(pk_arrays, chunks, owner,
+                                               row_bits)
+                up_nb += sum(a.nbytes for a in arrays2)
+                with timer.phase("dispatch", nbytes=up_nb):
+                    plans_pass.append((pair_upload(arrays2, meta2),
+                                       meta2, windows, row_bits))
+                up_nb = 0
+            import logging as _logging
+
+            _logging.getLogger("lime_tpu").info(
+                "blocked sweep: owner pass %d/%d rows [%d, %d)",
+                owner + 1, n_pass, lo, hi_rows)
+        for base in range(lo, hi_rows, B):
+            do_block(base, plans_pass, hi_rows)
+        plans_pass = None
+
     result = ClassifyResult(np.concatenate(out_t), np.concatenate(out_x),
                             np.concatenate(out_s))
     timer.report()

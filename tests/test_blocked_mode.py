@@ -115,3 +115,29 @@ def test_blocked_flag_variants(blocked_dataset, monkeypatch, variant):
     with open(blocked_out) as f:
         got = f.read()
     assert got == want
+
+
+def test_blocked_owner_passes_match_host(tmp_path, monkeypatch):
+    """Forced multi-pass streaming (LIME_STREAM_BUDGET): the planner's
+    dp-slicing bounds device stream residency at ~total/n_pass while the
+    owner sweeps stay byte-identical (the full-setB2 configuration,
+    where four W=28 streams exceed one chip's HBM)."""
+    from tests.synth import make_dataset
+
+    from lime_tpu.config import LimeConfig
+    from lime_tpu.pipeline import run_paired
+
+    ds = make_dataset(str(tmp_path), num_pairs=400, read_len=80,
+                      genome_lens=(6000, 5000, 4000), seed=41)
+    host_out = tmp_path / "host.csv"
+    run_paired(ds.collections, str(host_out), ds.num_reads,
+               ds.num_genomes, ds.lineage_path, ds.read_len,
+               LimeConfig(executor="host"))
+    monkeypatch.setenv("LIME_HBM_BUDGET", "1")       # force blocked mode
+    monkeypatch.setenv("LIME_STREAM_BUDGET", "65536")  # force owner passes
+    monkeypatch.setenv("LIME_HOST_FRAC", "0")        # stream-only
+    out = tmp_path / "blocked.csv"
+    run_paired(ds.collections, str(out), ds.num_reads, ds.num_genomes,
+               ds.lineage_path, ds.read_len,
+               LimeConfig(executor="tpu", fused=True))
+    assert out.read_text() == host_out.read_text()
