@@ -505,6 +505,12 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                  and _os.environ.get("LIME_HOST_FRAC") is None)
     host_num = _host_split_for(config, num_reads, num_genomes,
                                wide) if pair else 0
+    # Small all-host runs route their delta-COO chains through the
+    # classify program's correction scatter instead of separate uplink
+    # jobs: at example scale the per-launch relay cost (~50-100 ms x 4
+    # chains) dominates the bytes, and corrections ride the one classify
+    # launch that runs anyway.
+    _small_coo = num_reads * num_genomes <= (1 << 25)
     scratch = None  # reusable dense host plane for the hybrid path
 
     def load(fasta):
@@ -666,7 +672,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             def job_warm_classify():
                 planes = tuple(jnp.zeros((r_pad, g_pad), dev_dtype)
                                for _ in range(F))
-                if host_num == 256:
+                if host_num == 256 and not _small_coo:
                     # all-host mode ships scores as COO scatters into the
                     # planes; the classify call sees no corrections
                     e0 = jnp.zeros(0, jnp.int32)
@@ -737,6 +743,13 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                     plane_pool.put(plane)
                     chain = merge_coo_segments(segs, max_drow=max_drow)
                 if chain is None:
+                    return
+                if _small_coo:
+                    base0, drow, col, val = chain
+                    rows = (base0 + np.cumsum(drow.astype(np.int64))
+                            ).astype(np.int32)
+                    corr.append((fi, rows, col.astype(np.int32),
+                                 val.astype(np.int32)))
                     return
                 nb = len(chain[1]) * (3 if p24 else 4)
                 timer.add_bytes("uplink_sync", nb)
