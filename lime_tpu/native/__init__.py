@@ -146,6 +146,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_uint32, ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
             ]
             _lib = lib
         except Exception:
@@ -595,12 +596,13 @@ def plan_score_coo(lcp: np.ndarray, da: np.ndarray,
 
 
 def plan_clusters(lcp: np.ndarray, da: np.ndarray, num_reads: int,
-                  alpha: int, threads: int = 1
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimal cluster planner: (starts, lens) of every membership-passing
-    alpha-cluster, nothing else — the planning half of the all-host job
-    shop (~3x cheaper than the packed planner, which materializes stream
-    buffers an all-host run never uses).  Releases the GIL."""
+                  alpha: int, threads: int = 1, return_nr: bool = False):
+    """Minimal cluster planner: (starts, lens[, n_read_positions]) of
+    every membership-passing alpha-cluster, nothing else — the planning
+    half of the all-host job shop (~3x cheaper than the packed planner,
+    which materializes stream buffers an all-host run never uses).
+    ``return_nr`` adds the per-cluster read-position counts the scan
+    computes anyway (pair-heavy-cluster routing).  Releases the GIL."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -613,12 +615,16 @@ def plan_clusters(lcp: np.ndarray, da: np.ndarray, num_reads: int,
     cap = n // 2 + 1
     starts = np.empty(cap, dtype=np.int64)
     lens = np.empty(cap, dtype=np.int64)
+    nr = np.empty(cap, dtype=np.int64) if return_nr else None
     rc = lib.lime_plan_clusters(
         lcp.ctypes.data, da.ctypes.data, n, num_reads, alpha, threads,
-        cap, starts.ctypes.data, lens.ctypes.data, meta.ctypes.data)
+        cap, starts.ctypes.data, lens.ctypes.data,
+        nr.ctypes.data if return_nr else 0, meta.ctypes.data)
     if rc != 0:
         raise RuntimeError(f"lime_plan_clusters failed: {rc}")
     nc = int(meta[0])
+    if return_nr:
+        return starts[:nc], lens[:nc], nr[:nc]
     return starts[:nc], lens[:nc]
 
 

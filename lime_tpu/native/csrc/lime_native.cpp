@@ -1701,6 +1701,9 @@ int64_t lime_score_clusters(const int64_t* starts, const int64_t* lens,
 // Thread-order concatenation keeps the output deterministic; clusters are
 // emitted in ascending start order.
 //
+//   nr_out    — per-cluster read-position counts (the membership count
+//               the scan computes anyway; callers use it to route
+//               pair-heavy clusters)
 //   meta out — [0] cluster count, [1] max cluster len, [2] total positions
 //
 // Returns 0, or 1 when cap is insufficient (meta[0] = needed).
@@ -1708,12 +1711,12 @@ int64_t lime_plan_clusters(const uint32_t* lcp, const uint32_t* da,
                            int64_t n, int64_t num_reads, uint32_t alpha,
                            int64_t threads, int64_t cap,
                            int64_t* starts_out, int64_t* lens_out,
-                           int64_t* meta) {
+                           int64_t* nr_out, int64_t* meta) {
   if (n <= 0 || num_reads <= 0) return -1;
   if (threads < 1) threads = 1;
   if (threads > 16) threads = 16;
   const uint32_t nr_u32 = static_cast<uint32_t>(num_reads);
-  std::vector<std::vector<i64>> t_s(threads), t_l(threads);
+  std::vector<std::vector<i64>> t_s(threads), t_l(threads), t_r(threads);
 #ifdef _OPENMP
 #pragma omp parallel num_threads(static_cast<int>(threads))
 #endif
@@ -1725,6 +1728,7 @@ int64_t lime_plan_clusters(const uint32_t* lcp, const uint32_t* da,
 #endif
     std::vector<i64>& vs = t_s[tid];
     std::vector<i64>& vl = t_l[tid];
+    std::vector<i64>& vr = t_r[tid];
     const i64 lo = std::max<i64>(1, 1 + (n - 1) * tid / threads);
     const i64 hi = 1 + (n - 1) * (tid + 1) / threads;
     i64 i = lo;
@@ -1739,6 +1743,7 @@ int64_t lime_plan_clusters(const uint32_t* lcp, const uint32_t* da,
       if (nr > 0 && nr < len) {
         vs.push_back(ps);
         vl.push_back(len);
+        vr.push_back(nr);
       }
       return j;
     };
@@ -1759,6 +1764,7 @@ int64_t lime_plan_clusters(const uint32_t* lcp, const uint32_t* da,
     for (size_t k = 0; k < t_s[t].size(); k++) {
       starts_out[w] = t_s[t][k];
       lens_out[w] = t_l[t][k];
+      if (nr_out) nr_out[w] = t_r[t][k];
       if (t_l[t][k] > max_len) max_len = t_l[t][k];
       n_pos += t_l[t][k];
       w++;

@@ -710,14 +710,100 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             p24 = num_genomes < 4096
             max_drow = 15 if p24 else 255
 
+            # Pair-heavy-cluster MXU offload: a fraction of a percent of
+            # clusters carries ~84% of the (read, genome) pair work at
+            # the paper scale (measured: 0.18% of clusters, 3.9M of 108M
+            # positions, 177M of 211M pairs).  Shipping THOSE clusters
+            # to the dense histogram-matmul path costs ~20 MB/collection
+            # of uplink and removes most host scoring — worth it exactly
+            # when the link can carry it, so the decision comes from a
+            # fresh probe (the round-4 lesson: mixed splits planned on
+            # stale bandwidth samples strand megabytes on a collapsed
+            # wire).  LIME_DENSE_OFFLOAD=1/0 forces.
+            probe_done = threading.Event()
+            probe_bw = {}
+            env_off = _os.environ.get("LIME_DENSE_OFFLOAD")
+
+            def _probe_link():
+                try:
+                    import time as _time2
+
+                    buf = np.random.default_rng(0).integers(
+                        0, 255, 4 << 20, dtype=np.uint8)
+                    t0 = _time2.perf_counter()
+                    dev = jax.device_put(buf)
+                    np.asarray(jnp.sum(dev.astype(jnp.uint32)))
+                    bw = buf.nbytes / 1e9 / (_time2.perf_counter() - t0)
+                    probe_bw["bw"] = bw
+                    _record_link_bw(bw)
+                except Exception:  # pragma: no cover - probe best-effort
+                    pass
+                finally:
+                    probe_done.set()
+
+            if env_off in ("0", "1"):
+                probe_done.set()
+            else:
+                threading.Thread(target=_probe_link, daemon=True).start()
+
+            def _offload_ok():
+                if env_off == "1":
+                    return True
+                if env_off == "0":
+                    return False
+                probe_done.wait(timeout=8.0)
+                return probe_bw.get("bw", 0.0) >= 0.005  # >= 5 MB/s
+
             def host_job(fi):
                 with timer.phase("load"):
                     lcp, da, ebwt = load(collections[fi])
                 timer.add_bytes("score",
                                 len(lcp) * (9 if config.use_ebwt else 8))
                 with timer.phase("plan"):
-                    starts, lens = native.plan_clusters(
-                        lcp, da, num_reads, config.alpha, threads=1)
+                    starts, lens, nrr = native.plan_clusters(
+                        lcp, da, num_reads, config.alpha, threads=1,
+                        return_nr=True)
+                if _offload_ok():
+                    pairs = nrr * (lens - nrr)
+                    off_min = int(_os.environ.get(
+                        "LIME_DENSE_OFFLOAD_MIN", 256))
+                    big = (pairs >= off_min) & (lens <= 65536)
+                    if big.any():
+                        from .dense_score import (B_BLK, C_BLK, K, PR,
+                                                  _dense_chunk,
+                                                  pack_chunks)
+
+                        with timer.phase("dense",
+                                         nbytes=int(lens[big].sum()) * 5):
+                            d_chunks, left_s, left_l = pack_chunks(
+                                starts[big], lens[big], da,
+                                ebwt if config.use_ebwt else None,
+                                num_reads, num_genomes, g_pad)
+                        if d_chunks:
+                            f_feat = (4 if config.use_ebwt else 1) * K
+
+                            def job_dense(fi=fi, d_chunks=d_chunks,
+                                          f_feat=f_feat):
+                                if sims_dev[fi] is None:
+                                    sims_dev[fi] = jnp.zeros(
+                                        (r_pad, g_pad), dev_dtype)
+                                s = sims_dev[fi]
+                                for ridx, gidx, cmap_c, rid_c in d_chunks:
+                                    s = _dense_chunk(
+                                        s, jnp.asarray(ridx),
+                                        jnp.asarray(gidx),
+                                        jnp.asarray(cmap_c),
+                                        jnp.asarray(rid_c),
+                                        B_BLK, C_BLK, PR, f_feat, g_pad)
+                                sims_dev[fi] = s
+                                return s
+
+                            submit(job_dense,
+                                   nbytes=sum(r.nbytes + g.nbytes
+                                              + c.nbytes + i.nbytes
+                                              for r, g, c, i in d_chunks))
+                        starts = np.concatenate([starts[~big], left_s])
+                        lens = np.concatenate([lens[~big], left_l])
                 try:
                     plane = plane_pool.get_nowait()
                 except queue.Empty:

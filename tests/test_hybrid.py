@@ -126,3 +126,35 @@ def test_hybrid_blocked_mode(dataset, tmp_path, monkeypatch):
                    dataset.num_genomes, dataset.lineage_path,
                    dataset.read_len, FUSED.replace(host_frac=frac))
         assert open(a).read() == open(b).read(), f"host_frac {frac}"
+
+
+@pytest.mark.parametrize("offload", ["0", "1"])
+def test_all_host_dense_offload_byte_identical(tmp_path, monkeypatch,
+                                               offload):
+    """Pair-heavy clusters offloaded to the MXU dense path in all-host
+    mode (round 5: 0.18% of clusters carry ~84% of pair work at paper
+    scale) must not change a byte vs pure all-host or the host
+    pipeline.  Deep-coverage duplicate reads force pair-heavy clusters
+    at test scale."""
+    import numpy as np
+
+    from tests.synth import make_dataset
+
+    from lime_tpu.config import LimeConfig
+    from lime_tpu.pipeline import run_paired
+
+    ds = make_dataset(str(tmp_path), num_pairs=300, read_len=80,
+                      genome_lens=(5000, 4000), seed=77)
+    host_out = tmp_path / "host.csv"
+    run_paired(ds.collections, str(host_out), ds.num_reads,
+               ds.num_genomes, ds.lineage_path, ds.read_len,
+               LimeConfig(executor="host"))
+    monkeypatch.setenv("LIME_DENSE_OFFLOAD", offload)
+    # threshold low enough that many clusters actually route at test
+    # scale (production default is 256 pairs)
+    monkeypatch.setenv("LIME_DENSE_OFFLOAD_MIN", "4")
+    out = tmp_path / f"off{offload}.csv"
+    run_paired(ds.collections, str(out), ds.num_reads, ds.num_genomes,
+               ds.lineage_path, ds.read_len,
+               LimeConfig(executor="tpu", fused=True, host_frac=1.0))
+    assert out.read_text() == host_out.read_text()
