@@ -128,9 +128,10 @@ def test_hybrid_blocked_mode(dataset, tmp_path, monkeypatch):
         assert open(a).read() == open(b).read(), f"host_frac {frac}"
 
 
-@pytest.mark.parametrize("offload", ["0", "1"])
+@pytest.mark.parametrize("offload,use_ebwt", [("0", True), ("1", True),
+                                              ("1", False)])
 def test_all_host_dense_offload_byte_identical(tmp_path, monkeypatch,
-                                               offload):
+                                               offload, use_ebwt):
     """Pair-heavy clusters offloaded to the MXU dense path in all-host
     mode (round 5: 0.18% of clusters carry ~84% of pair work at paper
     scale) must not change a byte vs pure all-host or the host
@@ -148,7 +149,7 @@ def test_all_host_dense_offload_byte_identical(tmp_path, monkeypatch,
     host_out = tmp_path / "host.csv"
     run_paired(ds.collections, str(host_out), ds.num_reads,
                ds.num_genomes, ds.lineage_path, ds.read_len,
-               LimeConfig(executor="host"))
+               LimeConfig(executor="host", use_ebwt=use_ebwt))
     monkeypatch.setenv("LIME_DENSE_OFFLOAD", offload)
     # threshold low enough that many clusters actually route at test
     # scale (production default is 256 pairs)
@@ -156,5 +157,6 @@ def test_all_host_dense_offload_byte_identical(tmp_path, monkeypatch,
     out = tmp_path / f"off{offload}.csv"
     run_paired(ds.collections, str(out), ds.num_reads, ds.num_genomes,
                ds.lineage_path, ds.read_len,
-               LimeConfig(executor="tpu", fused=True, host_frac=1.0))
+               LimeConfig(executor="tpu", fused=True, host_frac=1.0,
+                          use_ebwt=use_ebwt))
     assert out.read_text() == host_out.read_text()
