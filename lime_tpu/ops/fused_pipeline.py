@@ -1187,21 +1187,47 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             th.start()
         lcp, da, ebwt = arrays
         timer.add_bytes("score", len(lcp) * (9 if config.use_ebwt else 8))
-        with timer.phase("plan"):
-            (pk_arrays, chunks, windows, row_bits, den_s, den_l, bad_s,
-             bad_l) = native.plan_pairs_packed(
-                lcp, da, ebwt, num_reads, config.alpha, SYMBOL_RANK_LUT,
-                _DEGENERATE_BYTE.astype(np.uint8), dense_min=dense_min,
-                num_refs=num_genomes, host_num=host_num,
-                dp=n_pass, rows_local=rows_local if n_pass > 1 else 0)
-        nb = sum(a.nbytes for a in pk_arrays)
-        if n_pass == 1:
-            with timer.phase("dispatch", nbytes=nb):
-                plans.append((pair_upload(pk_arrays, chunks), chunks,
-                              windows, row_bits))
+        if host_num == 256:
+            # all-host blocked mode: everything scores into this file's
+            # plane, so the packed-stream planner's buffers are pure
+            # waste — the light cluster scan suffices, and its free
+            # per-cluster read counts drive the pair-heavy MXU offload
+            # (same routing as the single-block job shop)
+            with timer.phase("plan"):
+                bad_s, bad_l, nrr = native.plan_clusters(
+                    lcp, da, num_reads, config.alpha, threads=2,
+                    return_nr=True)
+            den_s = den_l = np.empty(0, np.int64)
+            plans.append((None, [], (1, 1, 1),
+                          native.row_bits_for(num_reads)))
+            if not wide and _os.environ.get("LIME_DENSE_OFFLOAD") != "0":
+                pairs = nrr * (bad_l - nrr)
+                off_min = int(_os.environ.get("LIME_DENSE_OFFLOAD_MIN",
+                                              256))
+                big = (pairs >= off_min) & (bad_l <= 65536)
+                if big.any():
+                    den_s = np.concatenate([den_s, bad_s[big]]) \
+                        if len(den_s) else bad_s[big]
+                    den_l = np.concatenate([den_l, bad_l[big]]) \
+                        if len(den_l) else bad_l[big]
+                    bad_s, bad_l = bad_s[~big], bad_l[~big]
         else:
-            # host-resident plan; owner subsets upload per sweep pass
-            plans.append((pk_arrays, chunks, windows, row_bits))
+            with timer.phase("plan"):
+                (pk_arrays, chunks, windows, row_bits, den_s, den_l,
+                 bad_s, bad_l) = native.plan_pairs_packed(
+                    lcp, da, ebwt, num_reads, config.alpha,
+                    SYMBOL_RANK_LUT, _DEGENERATE_BYTE.astype(np.uint8),
+                    dense_min=dense_min, num_refs=num_genomes,
+                    host_num=host_num, dp=n_pass,
+                    rows_local=rows_local if n_pass > 1 else 0)
+            nb = sum(a.nbytes for a in pk_arrays)
+            if n_pass == 1:
+                with timer.phase("dispatch", nbytes=nb):
+                    plans.append((pair_upload(pk_arrays, chunks), chunks,
+                                  windows, row_bits))
+            else:
+                # host-resident plan; owner subsets upload per pass
+                plans.append((pk_arrays, chunks, windows, row_bits))
         if len(den_s):
             d_chunks, left_s, left_l = pack_chunks(
                 den_s, den_l, da, ebwt, num_reads, num_genomes, g_pad)
@@ -1302,9 +1328,10 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             stackd = jnp.zeros((F, B, g_pad), dev_dtype)
             for fi in range(F):
                 dev_arrays, chunks, windows, row_bits = plans_pass[fi]
-                stackd = pair_score_packed_from_device(
-                    stackd, dev_arrays, chunks, windows, row_bits, base,
-                    fi)
+                if chunks:
+                    stackd = pair_score_packed_from_device(
+                        stackd, dev_arrays, chunks, windows, row_bits,
+                        base, fi)
                 for dfi, d_ridxs, d_gidxs, d_cmaps, d_rids in dense_dev:
                     if dfi == fi:
                         stackd = _dense_scan_class(
@@ -1382,15 +1409,16 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             # device arrays die here, so stream residency stays at
             # ~total/n_pass
             plans_pass = []
-            up_nb = 0
             for pk_arrays, chunks, windows, row_bits in plans:
+                if not chunks:  # all-host file: no stream to upload
+                    plans_pass.append((None, [], windows, row_bits))
+                    continue
                 arrays2, meta2 = _owner_subset(pk_arrays, chunks, owner,
                                                row_bits)
-                up_nb += sum(a.nbytes for a in arrays2)
+                up_nb = sum(a.nbytes for a in arrays2)
                 with timer.phase("dispatch", nbytes=up_nb):
                     plans_pass.append((pair_upload(arrays2, meta2),
                                        meta2, windows, row_bits))
-                up_nb = 0
             import logging as _logging
 
             _logging.getLogger("lime_tpu").info(
