@@ -741,7 +741,9 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                 finally:
                     probe_done.set()
 
-            if env_off in ("0", "1"):
+            if env_off in ("0", "1") or _small_coo:
+                # small runs: host scoring is already sub-second, and
+                # waiting on the probe would ADD latency
                 probe_done.set()
             else:
                 threading.Thread(target=_probe_link, daemon=True).start()
@@ -749,7 +751,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             def _offload_ok():
                 if env_off == "1":
                     return True
-                if env_off == "0":
+                if env_off == "0" or _small_coo:
                     return False
                 probe_done.wait(timeout=8.0)
                 return probe_bw.get("bw", 0.0) >= 0.005  # >= 5 MB/s
