@@ -156,10 +156,10 @@ def _measure_pair_kernel_roofline():
     window = 16
     # planner-shaped stream (the scan kernel's structural contract:
     # copies = read rows then one genome docrun, length <= cap)
-    from tests.test_pallas_kernel import _planner_shaped_stream
+    from lime_tpu.ops.pallas_kernels import planner_shaped_stream
 
     rng = np.random.default_rng(1)
-    unit = _planner_shaped_stream(rng, 1 << 20, window)
+    unit = planner_shaped_stream(rng, 1 << 20, window)
     codes = jax.device_put(np.tile(unit, n // len(unit)))
     np.asarray(pair_hits_pallas(codes, jnp.int32(window),
                                 cap=window)[:8])  # compile

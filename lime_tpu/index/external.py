@@ -233,10 +233,24 @@ def _check_kasai_floor(total_positions: int) -> None:
     builds and merge passes would waste the entire run.
     """
     need = _KASAI_BYTES_PER_POS * total_positions
+    avail = None
     try:
-        avail = (os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
-    except (ValueError, OSError):  # pragma: no cover - exotic platforms
-        return
+        # MemAvailable counts reclaimable page cache; free pages alone
+        # would spuriously abort builds on machines whose RAM sits in
+        # cache from prior index IO
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    if avail is None:
+        try:
+            avail = (os.sysconf("SC_AVPHYS_PAGES")
+                     * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):  # pragma: no cover
+            return
     # RLIMIT_AS (the test harness's budget enforcement) caps us harder
     # than physical memory when set
     try:

@@ -1141,17 +1141,18 @@ struct ScoreCtx {
 //   em.base(rdoc)      — per-read-row base offset (caller-defined layout)
 //   em.reserve(k)      — announce <= k add() calls (batched-flush hook)
 //   em.add(base+gdoc, t) — accumulate raw u32 t at that cell
-// u8-plane emitters wrap t mod 256 internally (SimArray_ +=,
-// ClusterBWT_DA.cpp:183); the u32 plane (dataTypeNumSim=1) adds exactly.
-// kWide is compile-time so the hot u8 path carries no per-add branch.
-template <bool kWide, class Emit>
+// u8 counter semantics only (the reference's default build): emitters
+// wrap t mod 256 (SimArray_ +=, ClusterBWT_DA.cpp:183).  The wide
+// (dataTypeNumSim=1) configuration keeps the dense-plane path in
+// lime_score_clusters, whose hand-scheduled loop covers both widths.
+template <class Emit>
 inline void score_one_cluster(const ScoreCtx& cx, i64 s, i64 len,
                               ClusterScratch& sc, Emit& em) {
   const uint32_t* da = cx.da;
   const uint8_t* ebwt = cx.ebwt;
   const i64 num_reads = cx.num_reads;
   if (len > kMaxClu) return;  // guarded upstream (sizeMaxBuf)
-  if (!kWide && ebwt && len <= 32) {
+  if (ebwt && len <= 32) {
     // Small-cluster fast path (the overwhelming majority: mean
     // cluster length ~7 at the paper scale): no 64-bit key sort, no
     // segment scratch — a linear doc table with the 4 ACGT counts
@@ -1225,7 +1226,7 @@ inline void score_one_cluster(const ScoreCtx& cx, i64 s, i64 len,
 
   // Segment walk: reads have smaller doc ids, so read segments come
   // first; [0, n_rseg) reads, [n_rseg, n_seg) genomes.
-  const bool fast8 = !kWide && ebwt && !cluster_deg;
+  const bool fast8 = ebwt && !cluster_deg;
   i64 n_seg = 0, n_rseg = 0, k = 0;
   while (k < len) {
     const uint32_t doc = static_cast<uint32_t>(keys[k] >> 4);
@@ -1281,8 +1282,7 @@ inline void score_one_cluster(const ScoreCtx& cx, i64 s, i64 len,
         const uint32_t* gh32 = &sc.seg_h32[gi * 16];
         uint32_t u[16], v[16];
         for (int x = 0; x < 16; x++) {
-          // uchar read counters wrap; wide (dataTypeNumSim=1) doesn't
-          uint32_t rh = kWide ? rh32[x] : (rh32[x] & 0xFF);
+          uint32_t rh = rh32[x] & 0xFF;  // uchar read counters wrap
           uint32_t gh = gh32[x] > 255 ? 255 : gh32[x];  // saturation
           uint32_t m = rh < gh ? rh : gh;
           t += m;
@@ -1311,7 +1311,7 @@ inline void score_one_cluster(const ScoreCtx& cx, i64 s, i64 len,
           }
         }
       } else {
-        uint32_t rc = kWide ? sc.seg_cnt[ri] : (sc.seg_cnt[ri] & 0xFF);
+        uint32_t rc = sc.seg_cnt[ri] & 0xFF;
         uint32_t gc = sc.seg_cnt[gi] > 255 ? 255 : sc.seg_cnt[gi];
         t = rc < gc ? rc : gc;
       }
@@ -1319,50 +1319,6 @@ inline void score_one_cluster(const ScoreCtx& cx, i64 s, i64 len,
     }
   }
 }
-
-// Dense-plane emitter (lime_score_clusters).  u8 planes batch (cell, t)
-// pairs across clusters and flush with prefetch — the matrix writes are
-// random (one cache miss each), so batching overlaps the misses instead
-// of serializing them behind each tiny cluster's math.  u32 planes (wide)
-// write directly.
-template <bool kWide>
-struct PlaneEmit {
-  uint8_t* out8;
-  uint32_t* out32;
-  i64 stride;
-  i64 num_reads;
-  std::vector<uint64_t> pairbuf;
-  i64 np = 0;
-  PlaneEmit(void* out, i64 stride_, i64 num_reads_)
-      : out8(static_cast<uint8_t*>(out)),
-        out32(static_cast<uint32_t*>(out)),
-        stride(stride_), num_reads(num_reads_),
-        pairbuf(kWide ? 0 : kMaxClu) {}
-  inline i64 base(uint32_t rdoc) const {
-    return static_cast<i64>(rdoc) * stride - num_reads;
-  }
-  // reserve() batches the capacity check per pair loop (k <= kMaxClu by
-  // the sizeMaxBuf guard), so add() itself is branch-free on u8 planes
-  inline void reserve(i64 k) {
-    if (!kWide && np + k > static_cast<i64>(pairbuf.size())) flush();
-  }
-  inline void add(i64 cell, uint32_t t) {
-    if (kWide) {
-      out32[cell] += t;
-      return;
-    }
-    pairbuf[np++] = (static_cast<uint64_t>(cell) << 8) | (t & 0xFF);
-  }
-  void flush() {
-    for (i64 p = 0; p < np; p++) {
-      if (p + 8 < np)
-        __builtin_prefetch(out8 + (pairbuf[p + 8] >> 8), 1, 1);
-      const i64 cell = static_cast<i64>(pairbuf[p] >> 8);
-      out8[cell] = static_cast<uint8_t>(out8[cell] + (pairbuf[p] & 0xFF));
-    }
-    np = 0;
-  }
-};
 
 }  // namespace
 
@@ -1888,7 +1844,7 @@ int64_t lime_plan_score_coo(
         if (len > 65536) {
           acx.err = -2;  // reference sizeMaxBuf guard
         } else {
-          score_one_cluster<false>(scx, ps, len, sc, em);
+          score_one_cluster(scx, ps, len, sc, em);
           acx.n_clusters++;
           acx.n_pos += len;
         }

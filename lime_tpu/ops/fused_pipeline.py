@@ -448,6 +448,28 @@ def _host_split_for(config: LimeConfig, num_reads: int, num_genomes: int,
     return host_num
 
 
+def _probe_link_bw() -> float:
+    """Measure DELIVERED h2d bandwidth with a fresh 4 MB transfer.
+
+    Runs the pattern twice and returns the second sample: the first
+    absorbs the one-time program compile/load the relay charges, which
+    would otherwise bias a healthy link below the offload floor.  The
+    second sample is recorded into the split estimator.
+    """
+    import time as _time
+
+    buf = np.random.default_rng(0).integers(0, 255, 4 << 20,
+                                            dtype=np.uint8)
+    bw = 0.0
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        dev = jax.device_put(buf)
+        np.asarray(jnp.sum(dev.astype(jnp.uint32)))
+        bw = buf.nbytes / 1e9 / (_time.perf_counter() - t0)
+    _record_link_bw(bw)
+    return bw
+
+
 def _hbm_budget() -> int:
     """HBM budget (bytes) for the similarity stack (F, rows, g_pad).
 
@@ -669,25 +691,32 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
             # first-execution load per program, and paying it here
             # overlaps it with planning/host-scoring (gated on HBM
             # headroom for the throwaway planes + stack)
-            def job_warm_classify():
+            # the executable is shape-specific in the correction count:
+            # all-host (non-small) runs always classify with ZERO
+            # corrections; small all-host runs always ride the k >= 256
+            # correction bucket; mixed/pure-device runs depend on the
+            # input (rescued clusters pad to k >= 256, clean inputs have
+            # none) — warm BOTH there, or the multi-second per-program
+            # relay load lands on the classify critical path
+            if host_num == 256 and not _small_coo:
+                warm_ks = (0,)
+            elif host_num == 256:
+                warm_ks = (256,)
+            else:
+                warm_ks = (0, 256)
+
+            def job_warm_classify(k):
                 planes = tuple(jnp.zeros((r_pad, g_pad), dev_dtype)
                                for _ in range(F))
-                if host_num == 256 and not _small_coo:
-                    # all-host mode ships scores as COO scatters into the
-                    # planes; the classify call sees no corrections
-                    e0 = jnp.zeros(0, jnp.int32)
-                else:
-                    # any rescued cluster pads corrections to k >= 256 —
-                    # a different executable; warm THAT shape or the
-                    # multi-second per-program relay load lands on the
-                    # classify critical path (file index F = drop rows)
-                    e0 = jnp.full(256, F, jnp.int32)
+                e0 = (jnp.zeros(0, jnp.int32) if k == 0
+                      else jnp.full(k, F, jnp.int32))  # F = drop rows
                 return _classify_program_planes(
                     planes, e0, e0, e0, e0, taxd, rankd, validd, errord,
                     normd, betad, F, config.tax_rank,
                     config.assign_higher, not wide, block)
 
-            submit(job_warm_classify)
+            for _k in warm_ks:
+                submit(functools.partial(job_warm_classify, _k))
 
         # All-host fused mode (the relay-pinned production split): per
         # collection ONE light planning pass + single-thread SIMD scoring
@@ -726,16 +755,7 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
 
             def _probe_link():
                 try:
-                    import time as _time2
-
-                    buf = np.random.default_rng(0).integers(
-                        0, 255, 4 << 20, dtype=np.uint8)
-                    t0 = _time2.perf_counter()
-                    dev = jax.device_put(buf)
-                    np.asarray(jnp.sum(dev.astype(jnp.uint32)))
-                    bw = buf.nbytes / 1e9 / (_time2.perf_counter() - t0)
-                    probe_bw["bw"] = bw
-                    _record_link_bw(bw)
+                    probe_bw["bw"] = _probe_link_bw()
                 except Exception:  # pragma: no cover - probe best-effort
                     pass
                 finally:
@@ -989,8 +1009,15 @@ def _run_fused_inner(collections, num_reads, num_genomes, lineage,
                         if total > 1 << 20 and dt > 0.05:
                             import os as _os2
 
-                            cores = min(_os2.cpu_count() or 1, 16)
-                            _record_host_rate(total / dt / cores)
+                            # replicate the scorer's mem_cap thread clamp
+                            # (its per-thread partial planes cap the team
+                            # size on big matrices)
+                            eff = min(_os2.cpu_count() or 1, 16)
+                            cells = num_reads * num_genomes * (
+                                4 if wide else 1)
+                            while eff > 1 and (eff - 1) * cells > 8 << 30:
+                                eff -= 1
+                            _record_host_rate(total / dt / eff)
                         # coo24 (3 B/entry, one buffer) whenever the
                         # genome column fits 12 bits; legacy 3-array
                         # format for wide counters / ultra-wide DBs
@@ -1172,6 +1199,7 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     dense_dev = []  # (file, d_ridx, d_gidx, d_cmap, d_rid)
     corr = []
     nxt = {}
+    blocked_offload = None  # pair-heavy MXU offload, decided on first use
 
     def prefetch(fi):
         nxt[fi] = load(collections[fi])
@@ -1202,7 +1230,20 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
             den_s = den_l = np.empty(0, np.int64)
             plans.append((None, [], (1, 1, 1),
                           native.row_bits_for(num_reads)))
-            if not wide and _os.environ.get("LIME_DENSE_OFFLOAD") != "0":
+            env_off = _os.environ.get("LIME_DENSE_OFFLOAD")
+            if blocked_offload is None:
+                if env_off == "1":
+                    blocked_offload = True
+                elif env_off == "0" or wide:
+                    blocked_offload = False
+                else:
+                    # same >=5 MB/s fresh-probe gate as the job shop:
+                    # a collapsed wire keeps the pure-host policy
+                    try:
+                        blocked_offload = _probe_link_bw() >= 0.005
+                    except Exception:  # pragma: no cover
+                        blocked_offload = False
+            if blocked_offload:
                 pairs = nrr * (bad_l - nrr)
                 off_min = int(_os.environ.get("LIME_DENSE_OFFLOAD_MIN",
                                               256))

@@ -146,14 +146,6 @@ def _use_pallas() -> bool:
 BUCKET_CAPS = (16, 64, 255)
 
 
-def cap_for_window(window: int) -> int:
-    """Smallest bucket cap covering a known copy-length bound."""
-    for c in BUCKET_CAPS:
-        if window <= c:
-            return c
-    return 255
-
-
 def _hits_dispatch(bits, m, dr, gs, sym, window, cap: int = 255):
     """Pick the pair-hits engine for one decoded chunk.
 

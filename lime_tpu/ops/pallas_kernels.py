@@ -442,6 +442,36 @@ def pair_hits_pallas(codes: jnp.ndarray, window, cap: int = 255,
     return out.reshape(n)
 
 
+def planner_shaped_stream(rng, n, cap):
+    """Synthesize codes with the packed planner's structural invariants:
+    each copy = read rows (1+ docruns) then ONE genome docrun (gs=1);
+    copy length <= cap; a copy's first row is read-side with m=0.
+
+    The scan kernels' semantic contract is exactly this shape (see
+    _pair_kernel_scan); tests and the bench use it to cross-check and
+    time them on representative streams.
+    """
+    codes = np.zeros(n, np.uint8)
+    i = 0
+    while i < n:
+        n_read = int(rng.integers(1, max(2, cap // 2)))
+        n_gen = int(rng.integers(1, cap - n_read + 1)) if cap > n_read \
+            else 1
+        copy = []
+        for j in range(n_read):
+            sym = int(rng.integers(0, 4))
+            dr = 0 if (j == 0 or rng.random() < 0.3) else 1
+            copy.append(sym | (dr << 3))
+        for j in range(n_gen):
+            sym = int(rng.integers(0, 4))
+            dr = 0 if j == 0 else 1
+            copy.append(sym | (dr << 3) | (1 << 4))
+        for j, c in enumerate(copy[:n - i]):
+            codes[i + j] = c | ((1 << 2) if j else 0)  # m bit
+        i += len(copy)
+    return codes
+
+
 def pack_stream(m, emit, sym):
     """Pack (m, emit, sym-rank) into the kernel's one-byte position code."""
     xp = np if isinstance(m, np.ndarray) else jnp

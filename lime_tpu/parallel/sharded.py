@@ -1208,16 +1208,22 @@ def _run_sharded_pairs_multiprocess(collections, output_path, num_reads,
     for _, _, _, _, g in flat_iter:
         while gcap_loc < len(g):
             gcap_loc <<= 1
-    ls_all = np.asarray(multihost_utils.process_allgather(
-        np.array([local_shards], np.int64))).reshape(-1)
-    assert int(ls_all.sum()) == n_shards
     cell_slot = {c: b for b, c in enumerate(owned)}
     owned_by_owner = {j: [c for c in owned if c % dp == j]
                       for j in range(dp)}
     import os as _os
 
-    use_exchange = (any(not v for v in owned_by_owner.values())
-                    or _os.environ.get("LIME_FORCE_EXCHANGE") == "1")
+    need_exchange = (any(not v for v in owned_by_owner.values())
+                     or _os.environ.get("LIME_FORCE_EXCHANGE") == "1")
+    # the exchange decision must be GLOBAL: processes with uneven device
+    # counts can disagree locally, and divergent branches would issue
+    # mismatched collective sequences (a deadlock) — gather both the
+    # shard counts and the exchange flags in one allgather
+    ls_flags = np.asarray(multihost_utils.process_allgather(np.array(
+        [local_shards, int(need_exchange)], np.int64)))
+    ls_all = ls_flags[:, 0].reshape(-1)
+    assert int(ls_all.sum()) == n_shards
+    use_exchange = bool(ls_flags[:, 1].any())
     if use_exchange:
         cell_loc = 0  # the exchange path agrees on n_cell globally below
     else:

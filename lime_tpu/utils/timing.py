@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import threading
 import time
 from typing import Dict
 
@@ -28,6 +29,10 @@ class PhaseTimer:
         self.phases: Dict[str, float] = {}
         self.bytes: Dict[str, int] = {}
         self._start = time.perf_counter()
+        # the job-shop engine times phases from concurrent worker
+        # threads; unlocked read-modify-write would drop one worker's
+        # seconds from the report the bench scoreboard reads
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def phase(self, label: str, nbytes: int = 0):
@@ -38,13 +43,15 @@ class PhaseTimer:
         try:
             yield
         finally:
-            self.phases[label] = self.phases.get(label, 0.0) + (
-                time.perf_counter() - t0)
-            if nbytes:
-                self.bytes[label] = self.bytes.get(label, 0) + nbytes
+            with self._lock:
+                self.phases[label] = self.phases.get(label, 0.0) + (
+                    time.perf_counter() - t0)
+                if nbytes:
+                    self.bytes[label] = self.bytes.get(label, 0) + nbytes
 
     def add_bytes(self, label: str, nbytes: int) -> None:
-        self.bytes[label] = self.bytes.get(label, 0) + nbytes
+        with self._lock:
+            self.bytes[label] = self.bytes.get(label, 0) + nbytes
 
     def total(self) -> float:
         return time.perf_counter() - self._start

@@ -154,29 +154,9 @@ def test_pair_hits_pallas_matches_core():
         assert np.array_equal(ref[~gs_np], got[~gs_np]), window
 
 
-def _planner_shaped_stream(rng, n, cap):
-    """Synthesize codes with the packed planner's structural invariants:
-    each copy = read rows (1+ docruns) then ONE genome docrun (gs=1);
-    copy length <= cap; a copy's first row is read-side with m=0."""
-    codes = np.zeros(n, np.uint8)
-    i = 0
-    while i < n:
-        n_read = int(rng.integers(1, max(2, cap // 2)))
-        n_gen = int(rng.integers(1, cap - n_read + 1)) if cap > n_read \
-            else 1
-        copy = []
-        for j in range(n_read):
-            sym = int(rng.integers(0, 4))
-            dr = 0 if (j == 0 or rng.random() < 0.3) else 1
-            copy.append(sym | (0 if j else 0) | (dr << 3))
-        for j in range(n_gen):
-            sym = int(rng.integers(0, 4))
-            dr = 0 if j == 0 else 1
-            copy.append(sym | (dr << 3) | (1 << 4))
-        for j, c in enumerate(copy[:n - i]):
-            codes[i + j] = c | ((1 << 2) if j else 0)  # m bit
-        i += len(copy)
-    return codes
+from lime_tpu.ops.pallas_kernels import (  # noqa: E402 - shared synth
+    planner_shaped_stream as _planner_shaped_stream,
+)
 
 
 @pytest.mark.parametrize("cap", [16, 64])
