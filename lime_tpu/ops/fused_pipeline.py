@@ -1166,7 +1166,10 @@ def _run_fused_blocked(collections, num_reads, num_genomes, lineage,
     est_bytes = int(sum(
         _os0.path.getsize(c + ".lcp") // 4 * 0.6 * (W_est / 8 + 0.925)
         for c in collections))
-    n_pass = max(1, -(-est_bytes // stream_budget))
+    # dp-slicing re-emits copies per owner (~1.4x rows at moderate dp),
+    # and XLA fragmentation eats headroom — size passes with that margin
+    # (the first full-setB2 attempt OOMed exactly here)
+    n_pass = max(1, -(-int(est_bytes * 1.4) // stream_budget))
     if n_pass > 1:
         from ..parallel.sharded import pair_rows_local
 
